@@ -1,0 +1,176 @@
+"""Data-association ops: projected-window descriptor matching, mutual-NN
+matching, and fusion — the classical half of the reference's LGmatcher.
+
+Reference behaviors covered (src/LGmatcher.cpp):
+  * SearchByProjection(F, vpMPs)      :43-216   — track-local-map
+  * SearchByProjection(CurF, LastF)   :1627-1840 — motion-model tracking
+  * SearchForInitialization           :593-711  — windowed NN + ratio
+  * Fuse                              :1096-1288 — project into KF, bind
+  * DescriptorDistance                :2009-2013 — L2 on 256-D floats
+  * thresholds TH_HIGH=0.9 TH_LOW=0.4 :35-37
+
+TPU-first re-design: the reference iterates keypoints and grid buckets per
+candidate; here every search is ONE masked distance matrix on the MXU —
+descriptors are unit-norm so L2^2 = 2 - 2*dot, computed as a single [M,N]
+matmul, with the pixel-window / scale / view-angle predicates applied as a
+mask, then row argmin + ratio/threshold tests. For M=2048 landmarks x N=1024
+keypoints x D=256 this is ~1 GFLOP in bf16 — microseconds on the MXU, far
+cheaper than the gather-heavy bucket walk it replaces.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 0.9   # loose descriptor gate (squared-L2 compared below as L2^2?
+TH_LOW = 0.4    # reference compares plain L2 of unit vectors; we follow that)
+INF = jnp.inf
+
+
+class Matches(NamedTuple):
+    """Fixed-size match set: for each query row, the matched target index."""
+    idx: jax.Array     # [M] int32 target index (undefined where ~ok)
+    dist: jax.Array    # [M] descriptor distance
+    ok: jax.Array      # [M] bool
+
+
+def desc_distance_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise L2 distance between unit descriptors a [M,D], b [N,D].
+    One MXU matmul: ||a-b|| = sqrt(2-2ab) (reference DescriptorDistance is
+    cv L2 norm, src/LGmatcher.cpp:2009-2013)."""
+    dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
+
+
+def masked_match(dist: jax.Array, mask: jax.Array, th: float = TH_HIGH,
+                 ratio: float | None = None, mutual: bool = False) -> Matches:
+    """Row-wise best match of a masked distance matrix.
+
+    dist [M,N]; mask [M,N] bool (True = admissible). Applies distance
+    threshold, optional Lowe ratio test (best/second-best), and optional
+    mutual-best check (column argmin must agree).
+    """
+    big = jnp.where(mask, dist, INF)
+    j = jnp.argmin(big, axis=1)
+    d1 = jnp.take_along_axis(big, j[:, None], axis=1)[:, 0]
+    ok = jnp.isfinite(d1) & (d1 < th)
+    if ratio is not None:
+        tmp = big.at[jnp.arange(big.shape[0]), j].set(INF)
+        d2 = jnp.min(tmp, axis=1)
+        ok &= d1 < ratio * d2
+    if mutual:
+        i_best = jnp.argmin(big, axis=0)           # [N]
+        ok &= jnp.take(i_best, j) == jnp.arange(big.shape[0])
+    return Matches(j.astype(jnp.int32), d1, ok)
+
+
+def resolve_duplicate_targets(m: Matches, n_targets: int) -> Matches:
+    """Keep only the best query per target (a target keypoint can host one
+    match — reference enforces this via bestDist bookkeeping per kp)."""
+    # scatter-min of dist into target slots, then keep rows achieving the min
+    tgt = jnp.where(m.ok, m.idx, n_targets)        # park invalid in slot N
+    best = jnp.full((n_targets + 1,), INF).at[tgt].min(
+        jnp.where(m.ok, m.dist, INF))
+    keep = m.ok & (m.dist <= jnp.take(best, tgt))
+    # among ties, keep lowest row index: recompute winner by argmin over rows
+    order = jnp.where(keep, jnp.arange(m.idx.shape[0]), m.idx.shape[0])
+    first = jnp.full((n_targets + 1,), m.idx.shape[0], jnp.int32).at[tgt].min(
+        order.astype(jnp.int32))
+    keep &= jnp.take(first, tgt) == jnp.arange(m.idx.shape[0])
+    return Matches(m.idx, m.dist, keep)
+
+
+# ---------------------------------------------------------------------------
+# Projection searches
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mutual",))
+def search_by_projection(proj_xy: jax.Array, proj_valid: jax.Array,
+                         query_desc: jax.Array,
+                         kp_xy: jax.Array, kp_valid: jax.Array,
+                         kp_desc: jax.Array, radius: jax.Array | float,
+                         th_desc: float = TH_HIGH,
+                         ratio: float | None = None,
+                         mutual: bool = False) -> Matches:
+    """Generic projected-window search.
+
+    proj_xy [M,2]: predicted pixel of each query (landmark or prev-frame kp);
+    query_desc [M,D]; kp_* are the current frame's keypoints. radius may be
+    scalar or per-query [M] (the reference widens by viewing angle and octave:
+    r = 2.5 or 4.0 by viewCos, scaled by level factor, LGmatcher.cpp:217-223).
+    """
+    d = desc_distance_matrix(query_desc, kp_desc)
+    dx = proj_xy[:, None, 0] - kp_xy[None, :, 0]
+    dy = proj_xy[:, None, 1] - kp_xy[None, :, 1]
+    r = jnp.asarray(radius)
+    r2 = (r * r) if r.ndim == 0 else (r * r)[:, None]
+    window = (dx * dx + dy * dy) <= r2
+    mask = window & proj_valid[:, None] & kp_valid[None, :]
+    m = masked_match(d, mask, th=th_desc, ratio=ratio, mutual=mutual)
+    return resolve_duplicate_targets(m, kp_xy.shape[0])
+
+
+@jax.jit
+def search_for_initialization(kp0_xy, kp0_valid, desc0, kp1_xy, kp1_valid,
+                              desc1, window: float = 100.0,
+                              ratio: float = 0.9,
+                              th_desc: float = TH_LOW * 2) -> Matches:
+    """Monocular-init matching: windowed mutual NN with ratio test
+    (reference: SearchForInitialization src/LGmatcher.cpp:593-711 — window
+    100 px, mnRatio, rotation histogram; the rot-hist is inert for
+    SuperPoint keypoints which carry no orientation)."""
+    return search_by_projection(kp0_xy, kp0_valid, desc0, kp1_xy, kp1_valid,
+                                desc1, radius=window, th_desc=th_desc,
+                                ratio=ratio, mutual=True)
+
+
+# ---------------------------------------------------------------------------
+# Landmark projection + frustum/scale predicates
+# ---------------------------------------------------------------------------
+
+def project_landmarks(R_cw, t_cw, cam, lm_pos, lm_mask, lm_normal=None,
+                      lm_dist_min=None, lm_dist_max=None,
+                      min_view_cos: float = 0.5):
+    """Project landmarks into a frame and compute the reference's isInFrustum
+    predicates (src/Frame.cc:514-600): positive depth, inside image, distance
+    within scale band, viewing angle < 60 deg. Returns (xy [L,2],
+    visible [L] bool, view_cos [L], dist [L])."""
+    from dani_slam_tpu.core import cameras as _cam
+
+    pc = jnp.einsum('ij,lj->li', R_cw, lm_pos) + t_cw
+    z = pc[:, 2]
+    xy = _cam.project(cam, pc)
+    inside = ((xy[:, 0] >= 0) & (xy[:, 0] < cam.width) &
+              (xy[:, 1] >= 0) & (xy[:, 1] < cam.height))
+    dist = jnp.linalg.norm(pc, axis=-1)
+    vis = lm_mask & (z > 0.05) & inside
+    view_cos = jnp.ones_like(z)
+    if lm_normal is not None:
+        # camera center in world: C = -R^T t
+        C = -R_cw.T @ t_cw
+        po = lm_pos - C
+        view_cos = jnp.einsum('li,li->l', po, lm_normal) / (
+            jnp.linalg.norm(po, axis=-1) *
+            jnp.linalg.norm(lm_normal, axis=-1)).clip(1e-9)
+        vis &= view_cos > min_view_cos
+    if lm_dist_min is not None:
+        vis &= (dist >= 0.8 * lm_dist_min) & (dist <= 1.2 * lm_dist_max)
+    return xy, vis, view_cos, dist
+
+
+# ---------------------------------------------------------------------------
+# Fuse (reference: LGmatcher::Fuse src/LGmatcher.cpp:1096-1288)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def fuse_candidates(proj_xy, proj_valid, lm_desc, kp_xy, kp_valid, kp_desc,
+                    radius: float = 3.0, th_desc: float = TH_LOW * 1.5):
+    """For each projected landmark, find the keyframe keypoint it should bind
+    to (replace-or-add decision is made by the caller against the obs table).
+    Stricter threshold than tracking search, mutual-best enforced."""
+    return search_by_projection(proj_xy, proj_valid, lm_desc, kp_xy, kp_valid,
+                                kp_desc, radius=radius, th_desc=th_desc,
+                                mutual=True)

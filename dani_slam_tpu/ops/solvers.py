@@ -1,0 +1,188 @@
+"""Motion-only pose optimization: damped Gauss-Newton (LM) on SE(3).
+
+Semantics of the reference's Optimizer::PoseOptimization
+(src/Optimizer.cc:814-1110): minimize robust reprojection error of the
+current frame's landmark matches over the 6-DoF pose, 4 rounds x 10
+iterations, Huber delta = sqrt(5.991) mono / sqrt(7.815) stereo, chi-square
+outlier re-classification between rounds (outliers excluded from the next
+round but re-tested every round), robust kernel dropped in later rounds.
+
+TPU-first re-design: g2o builds a graph of unary edges and runs sequential
+LM; here the normal equations are two reductions over padded fixed-size
+arrays — H = sum_i w_i J_i^T J_i (6x6), b = sum_i w_i J_i^T r_i — computed
+as batched einsums (MXU), with the LM loop as lax.fori_loop carrying
+(pose, lambda). No host round-trips inside the solve; the whole 4-round
+schedule is one XLA program. Under vmap this optimizes many frames at once
+(used by relocalization candidate ranking).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dani_slam_tpu.core import cameras as _cam
+from dani_slam_tpu.core import lie
+
+CHI2_MONO = 5.991       # 2-DoF 95% (Optimizer.cc:852)
+CHI2_STEREO = 7.815     # 3-DoF 95% (Optimizer.cc:853)
+
+
+class PoseOptResult(NamedTuple):
+    R: jax.Array          # (3,3) optimized T_cw rotation
+    t: jax.Array          # (3,)
+    inliers: jax.Array    # [N] bool
+    n_inliers: jax.Array  # [] int32
+    chi2: jax.Array       # [] final robust cost
+
+
+def _residuals_jac(R, t, cam, pts_w, obs_xy):
+    """Reprojection residuals r [N,2] and Jacobian J [N,2,6] wrt a LEFT
+    increment xi: T <- exp(xi) T  (d pc/d xi = [I | -hat(pc)])."""
+    pc = jnp.einsum('ij,nj->ni', R, pts_w) + t
+    proj = _cam.project(cam, pc)
+    r = proj - obs_xy
+    Jp = _cam.project_jac(cam, pc)                  # [N,2,3]
+    Jx = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)),
+        -lie.hat(pc)], axis=-1)                     # [N,3,6]
+    J = jnp.einsum('nij,njk->nik', Jp, Jx)          # [N,2,6]
+    return r, J
+
+
+def _depth_residual(R, t, pts_w, obs_depth):
+    """Optional depth residual (RGB-D): r_z = z - d_obs, J [N,1,6].
+    The reference folds RGB-D into a virtual right-coordinate stereo residual
+    (u_r = u - fx*b/z, Frame::ComputeStereoFromRGBD src/Frame.cc:918); a
+    direct depth residual carries the same information with one fewer
+    projection and conditions better on TPU f32."""
+    pc = jnp.einsum('ij,nj->ni', R, pts_w) + t
+    r = (pc[:, 2] - obs_depth)[:, None]
+    Jx = jnp.concatenate([jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)),
+                          -lie.hat(pc)], axis=-1)
+    J = Jx[:, 2:3, :]
+    return r, J
+
+
+@partial(jax.jit,
+         static_argnames=("rounds", "iters_per_round", "use_depth"))
+def pose_optimize(R0, t0, cam, pts_w, obs_xy, mask,
+                  inv_sigma2=None, obs_depth=None, depth_inv_sigma2=1.0,
+                  rounds: int = 4, iters_per_round: int = 10,
+                  use_depth: bool = False) -> PoseOptResult:
+    """Motion-only LM solve. pts_w [N,3] world landmarks, obs_xy [N,2]
+    observations, mask [N] valid-match flags.
+
+    inv_sigma2 [N]: per-observation information (octave-dependent in the
+    reference; 1.0 for single-level SuperPoint). obs_depth [N]: measured
+    depth (use_depth=True enables the RGB-D residual, chi2 gate moves to
+    the 3-DoF threshold as in the reference's stereo edges).
+    """
+    N = pts_w.shape[0]
+    w_info = jnp.ones(N) if inv_sigma2 is None else inv_sigma2
+    chi2_th = CHI2_STEREO if use_depth else CHI2_MONO
+    delta = jnp.sqrt(chi2_th)
+
+    def chi2_of(R, t, inl, robust=False):
+        r, _ = _residuals_jac(R, t, cam, pts_w, obs_xy)
+        c = jnp.sum(r * r, axis=-1) * w_info
+        if use_depth:
+            rd, _ = _depth_residual(R, t, pts_w, obs_depth)
+            c = c + rd[:, 0] ** 2 * depth_inv_sigma2
+        if robust:
+            # Huber rho(c): linearize beyond delta so outliers can't veto a
+            # good robust step in the LM accept test
+            sq = jnp.sqrt(jnp.maximum(c, 1e-12))
+            rho = jnp.where(sq <= delta, c, 2 * delta * sq - delta * delta)
+        else:
+            rho = c
+        return c, jnp.sum(jnp.where(inl, rho, 0.0))
+
+    def lm_iter(carry, robust):
+        R, t, lam, inl = carry
+        r, J = _residuals_jac(R, t, cam, pts_w, obs_xy)
+        c = jnp.sum(r * r, axis=-1) * w_info
+        if use_depth:
+            rd, Jd = _depth_residual(R, t, pts_w, obs_depth)
+            c = c + rd[:, 0] ** 2 * depth_inv_sigma2
+
+        # Huber on the chi2 (matches g2o robust kernel on squared error)
+        if robust:
+            sqrt_c = jnp.sqrt(jnp.maximum(c, 1e-12))
+            w_rob = jnp.where(sqrt_c <= delta, 1.0, delta / sqrt_c)
+        else:
+            w_rob = jnp.ones_like(c)
+        w = jnp.where(inl & mask, w_rob * w_info, 0.0)
+
+        H = jnp.einsum('nik,n,nil->kl', J, w, J)
+        b = jnp.einsum('nik,n,ni->k', J, w, r)
+        if use_depth:
+            wd = jnp.where(inl & mask, w_rob * depth_inv_sigma2, 0.0)
+            H = H + jnp.einsum('nik,n,nil->kl', Jd, wd, Jd)
+            b = b + jnp.einsum('nik,n,ni->k', Jd, wd, rd)
+
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
+        dx = -jnp.linalg.solve(Hd, b)
+        dR, dt = lie.se3_exp(dx)
+        R_new = dR @ R
+        t_new = dR @ t + dt
+
+        _, cost_old = chi2_of(R, t, inl & mask, robust)
+        _, cost_new = chi2_of(R_new, t_new, inl & mask, robust)
+        better = cost_new < cost_old
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        lam = jnp.where(better, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-8, 1e6)
+        return (R, t, lam, inl)
+
+    R, t = R0, t0
+    inl = mask
+    for rd_i in range(rounds):
+        robust = rd_i < 2  # reference drops the kernel in later rounds
+        carry = (R, t, jnp.asarray(1e-3), inl)
+        carry = jax.lax.fori_loop(
+            0, iters_per_round, lambda _, cc: lm_iter(cc, robust), carry)
+        R, t, _, _ = carry
+        # re-classify ALL masked obs (outliers can come back)
+        c, _ = chi2_of(R, t, mask)
+        inl = mask & (c <= chi2_th)
+
+    c, total = chi2_of(R, t, inl)
+    return PoseOptResult(R, t, inl, jnp.sum(inl.astype(jnp.int32)), total)
+
+
+# ---------------------------------------------------------------------------
+# Horn alignment (closed-form absolute orientation) — used by Sim3Solver
+# RANSAC (src/Sim3Solver.cc:316-380) and by ATE evaluation.
+# ---------------------------------------------------------------------------
+
+def horn_align(P: jax.Array, Q: jax.Array, w: jax.Array | None = None,
+               with_scale: bool = False):
+    """Find (R, t, s) minimizing ||Q - (s R P + t)||^2. P,Q: [N,3].
+    Batched-friendly closed form via SVD of the weighted cross-covariance."""
+    if w is None:
+        w = jnp.ones(P.shape[:-1])
+    wsum = jnp.sum(w, axis=-1, keepdims=True).clip(1e-9)
+    wp = (w / wsum[..., 0:1])[..., None]
+    mu_p = jnp.sum(P * wp, axis=-2)
+    mu_q = jnp.sum(Q * wp, axis=-2)
+    Pc = P - mu_p[..., None, :]
+    Qc = Q - mu_q[..., None, :]
+    S = jnp.einsum('...ni,...n,...nj->...ij', Qc, w, Pc)
+    U, D, Vt = jnp.linalg.svd(S)
+    det = jnp.linalg.det(U @ Vt)
+    E = jnp.zeros_like(U).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    E = E.at[..., 2, 2].set(det)
+    R = U @ E @ Vt
+    if with_scale:
+        num = jnp.sum(D * jnp.concatenate(
+            [jnp.ones_like(D[..., :2]), det[..., None]], axis=-1), axis=-1)
+        den = jnp.einsum('...ni,...n,...ni->...', Pc, w, Pc).clip(1e-12)
+        s = num / den
+    else:
+        s = jnp.ones(P.shape[:-2])
+    t = mu_q - s[..., None] * jnp.einsum('...ij,...j->...i', R, mu_p)
+    return R, t, s
