@@ -1,0 +1,169 @@
+"""Bundle adjustment: batched sparse Gauss-Newton/LM with explicit Schur
+complement (landmark elimination).
+
+Replaces the reference's g2o Levenberg-Marquardt machinery
+(Thirdparty/g2o BlockSolver_6_3 + Schur, core/block_solver.hpp) and its
+call sites: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:1116-1499,
+covisible window + fixed observers), BundleAdjustment / GlobalBundleAdjustemnt
+(src/Optimizer.cc:52-390), with Huber robust kernels
+(delta = sqrt(5.991) mono, core/robust_kernel_impl.cpp).
+
+TPU-first formulation: the bipartite pose-landmark sparsity is handled with
+dense fixed-size blocks — at SLAM scale (P <= 32 active poses, L <= 8192
+local landmarks) the Schur system is tiny:
+    H_pp [P,6,6]   (block-diagonal, scatter-add over observations)
+    H_ll [L,3,3]   (block-diagonal, invertible 3x3s in closed form)
+    H_pl [P,L,6,3] (dense rectangular block matrix; P*L*18 floats ~ MBs)
+    S = H_pp_full - H_pl H_ll^-1 H_pl^T   -> dense (6P,6P) solve
+    dl = H_ll^-1 (b_l - H_pl^T dp)        -> back-substitution
+All reductions are einsums/scatter-adds (MXU/VPU); the LM loop is
+lax.fori_loop with no host round-trips. Observations are a flat padded list
+(obs_kf, obs_lm, obs_xy, valid) — the reference's edge list, vectorized.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dani_slam_tpu.core import cameras as _cam
+from dani_slam_tpu.core import lie
+
+CHI2_MONO = 5.991
+
+
+class BAResult(NamedTuple):
+    R: jax.Array          # [P,3,3]
+    t: jax.Array          # [P,3]
+    lm_pos: jax.Array     # [L,3]
+    obs_inlier: jax.Array  # [M] bool — final chi2 classification
+    cost: jax.Array       # [] final robust cost
+
+
+def _residuals(R, t, cam, lm_pos, obs_kf, obs_lm, obs_xy):
+    """r [M,2], J_pose [M,2,6] (left-increment on T_cw), J_pt [M,2,3]."""
+    Rk = R[obs_kf]
+    tk = t[obs_kf]
+    X = lm_pos[obs_lm]
+    pc = jnp.einsum('mij,mj->mi', Rk, X) + tk
+    r = _cam.project(cam, pc) - obs_xy
+    Jp = _cam.project_jac(cam, pc)                     # [M,2,3]
+    Jpose = jnp.einsum('mij,mjk->mik', Jp, jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)),
+        -lie.hat(pc)], axis=-1))                       # [M,2,6]
+    Jpt = jnp.einsum('mij,mjk->mik', Jp, Rk)           # [M,2,3]
+    return r, Jpose, Jpt
+
+
+def _robust_w(c, delta):
+    sq = jnp.sqrt(jnp.maximum(c, 1e-12))
+    return jnp.where(sq <= delta, 1.0, delta / sq)
+
+
+def _rho(c, delta):
+    sq = jnp.sqrt(jnp.maximum(c, 1e-12))
+    return jnp.where(sq <= delta, c, 2 * delta * sq - delta * delta)
+
+
+@partial(jax.jit, static_argnames=("iters", "robust"))
+def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
+             obs_kf, obs_lm, obs_xy, obs_valid, obs_info=None,
+             iters: int = 10, robust: bool = True,
+             huber_delta: float = CHI2_MONO ** 0.5) -> BAResult:
+    """Joint pose+landmark LM solve.
+
+    R0,t0: [P,...] initial T_cw poses. pose_fixed [P] bool: gauge/anchor
+    poses excluded from the update (reference: fixed observer KFs and KF 0,
+    src/Optimizer.cc:1220-1260). lm0 [L,3] initial landmark positions,
+    lm_valid [L]. Observations are padded flat lists: obs_kf [M] pose index,
+    obs_lm [M] landmark index, obs_xy [M,2] pixel, obs_valid [M].
+    """
+    P = R0.shape[0]
+    L = lm0.shape[0]
+    info = jnp.ones(obs_kf.shape[0]) if obs_info is None else obs_info
+    delta = huber_delta
+
+    obs_kf = jnp.where(obs_valid, obs_kf, 0)
+    obs_lm = jnp.where(obs_valid, obs_lm, 0)
+    base_valid = obs_valid & jnp.take(lm_valid, obs_lm)
+
+    def cost_of(R, t, lm, w_sel):
+        r, _, _ = _residuals(R, t, cam, lm, obs_kf, obs_lm, obs_xy)
+        c = jnp.sum(r * r, axis=-1) * info
+        return c, jnp.sum(jnp.where(w_sel, _rho(c, delta) if robust else c,
+                                    0.0))
+
+    def lm_iter(_, carry):
+        R, t, lm, lam = carry
+        r, Jpose, Jpt = _residuals(R, t, cam, lm, obs_kf, obs_lm, obs_xy)
+        c = jnp.sum(r * r, axis=-1) * info
+        w = (_robust_w(c, delta) if robust else jnp.ones_like(c)) * info
+        w = jnp.where(base_valid, w, 0.0)
+
+        # block assemblies (scatter-add over observations)
+        JtJ_p = jnp.einsum('mik,m,mil->mkl', Jpose, w, Jpose)   # [M,6,6]
+        JtJ_l = jnp.einsum('mik,m,mil->mkl', Jpt, w, Jpt)       # [M,3,3]
+        JtJ_pl = jnp.einsum('mik,m,mil->mkl', Jpose, w, Jpt)    # [M,6,3]
+        b_p = jnp.einsum('mik,m,mi->mk', Jpose, w, r)           # [M,6]
+        b_l = jnp.einsum('mik,m,mi->mk', Jpt, w, r)             # [M,3]
+
+        H_pp = jnp.zeros((P, 6, 6)).at[obs_kf].add(JtJ_p)
+        H_ll = jnp.zeros((L, 3, 3)).at[obs_lm].add(JtJ_l)
+        H_pl = jnp.zeros((P, L, 6, 3)).at[obs_kf, obs_lm].add(JtJ_pl)
+        g_p = jnp.zeros((P, 6)).at[obs_kf].add(b_p)
+        g_l = jnp.zeros((L, 3)).at[obs_lm].add(b_l)
+
+        # damping
+        H_pp = H_pp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_pp))
+                       + 1e-8 * jnp.eye(6))
+        H_ll = H_ll + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_ll))
+                       + 1e-8 * jnp.eye(3))
+
+        # landmark block inverse (3x3 closed form via solve)
+        Hll_inv = jnp.linalg.inv(H_ll)                          # [L,3,3]
+
+        # Schur: S = H_pp - sum_l H_pl Hll^-1 H_pl^T  (per pose-pair block)
+        # W[p,l] = H_pl[p,l] @ Hll_inv[l]   [P,L,6,3]
+        W = jnp.einsum('plik,lkj->plij', H_pl, Hll_inv)
+        S_off = jnp.einsum('plik,qljk->pqij', W, H_pl)          # [P,P,6,6]
+        S = -S_off
+        S = S.at[jnp.arange(P), jnp.arange(P)].add(H_pp)
+        rhs = g_p - jnp.einsum('plij,lj->pi', W, g_l)           # [P,6]
+
+        # gauge handling: fixed poses -> identity rows/cols
+        fixm = pose_fixed.astype(S.dtype)
+        keep = 1.0 - fixm
+        S = S * keep[:, None, None, None] * keep[None, :, None, None]
+        S = S.at[jnp.arange(P), jnp.arange(P)].add(
+            fixm[:, None, None] * jnp.eye(6))
+        rhs = rhs * keep[:, None]
+
+        Sd = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
+        dp = -jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(P, 6)
+        dp = dp * keep[:, None]
+        # back-substitute landmarks: dl = -Hll^-1 (g_l + H_pl^T dp)
+        Hpl_t_dp = jnp.einsum('plik,pi->lk', H_pl, dp)
+        dl = -jnp.einsum('lij,lj->li', Hll_inv, g_l + Hpl_t_dp)
+        dl = jnp.where(lm_valid[:, None], dl, 0.0)
+
+        dR, dt = lie.se3_exp(dp)
+        R_new = dR @ R
+        t_new = jnp.einsum('pij,pj->pi', dR, t) + dt
+        lm_new = lm + dl
+
+        _, c_old = cost_of(R, t, lm, base_valid)
+        _, c_new = cost_of(R_new, t_new, lm_new, base_valid)
+        better = c_new < c_old
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        lm = jnp.where(better, lm_new, lm)
+        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e8)
+        return (R, t, lm, lam)
+
+    carry = (R0, t0, lm0, jnp.asarray(1e-4))
+    R, t, lm, _ = jax.lax.fori_loop(0, iters, lm_iter, carry)
+    c, total = cost_of(R, t, lm, base_valid)
+    inlier = base_valid & (c <= CHI2_MONO)
+    return BAResult(R, t, lm, inlier, total)
