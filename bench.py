@@ -1,0 +1,55 @@
+"""Benchmark: end-to-end tracking FPS on a synthetic sequence (real device).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.json north-star): >= 60 FPS end-to-end tracking on one
+v5e chip; vs_baseline = measured_fps / 60.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dani_slam_tpu.core import cameras, state as mstate
+    from dani_slam_tpu.slam.system import Sensor, System
+    from dani_slam_tpu.utils import synthetic
+
+    cam = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
+    caps = mstate.MapCaps(K=64, L=8192, N=512, D=64)
+    n_frames = 60
+    world = synthetic.make_world(1500, desc_dim=64, seed=0)
+    R_gt, t_gt = synthetic.orbit_trajectory(n_frames, radius=10.0,
+                                            angle_span=0.8)
+    feats = []
+    for i in range(n_frames):
+        f, _ = synthetic.render_frame(world, cam, R_gt[i], t_gt[i], n_max=512,
+                                      noise_px=0.3, seed=i, with_depth=True,
+                                      time=i / 30.0)
+        feats.append(jax.device_put(f))
+
+    sys = System(cam, Sensor.RGBD, caps=caps, n_features=512)
+    # warmup / compile on first frames
+    for i in range(3):
+        sys.track_features(feats[i])
+
+    t0 = time.perf_counter()
+    for i in range(3, n_frames):
+        sys.track_features(feats[i])
+    jax.block_until_ready(sys.tracker.st.kf_R)
+    dt = time.perf_counter() - t0
+    fps = (n_frames - 3) / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_synthetic_rgbd",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -317,6 +317,15 @@ def sim3_apply(R, t, s, p):
 # Interpolation / alignment helpers
 # ---------------------------------------------------------------------------
 
+def orthonormalize(R: jax.Array) -> jax.Array:
+    """Project a near-rotation back onto SO(3) via quaternion roundtrip
+    (cheap; exact for true rotations). Matrix products in f32 drift off the
+    manifold; worse, se3_inv uses the transpose, which preserves any scale
+    error, so pose-velocity feedback loops AMPLIFY det(R) exponentially
+    unless renormalized once per cycle."""
+    return quat_to_mat(mat_to_quat(R))
+
+
 def normalize_rotation(R: jax.Array) -> jax.Array:
     """Project a near-rotation matrix back onto SO(3) via SVD."""
     U, _, Vt = jnp.linalg.svd(R)

@@ -1,0 +1,191 @@
+"""LightGlue attention matcher in Flax.
+
+TPU-native re-implementation of the reference's TorchScript LightGlue
+(reference: src/LightGlue.cpp:56-94 loads `lightglue_scripted_v2.pt`, feeds
+normalized keypoints + descriptors, thresholds match scores at 0.05 —
+src/LGmatcher.cpp:324; architecture per the public LightGlue paper,
+PAPERS.md: "LightGlue: Local Feature Matching at Light Speed").
+
+Design (TPU-first):
+  * fixed-size padded keypoint sets with validity masks (no pruning/early
+    exit — XLA gets one static graph; adaptive depth can come later as a
+    jax.lax.cond ladder),
+  * self-attention with 2-D rotary positional encoding (learned Fourier
+    frequencies over normalized coords), cross-attention without positions,
+  * dual-softmax assignment with learned matchability gates,
+  * bf16 attention matmuls (MXU), f32 softmax/logits.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def normalize_keypoints(xy: jax.Array, width: int, height: int) -> jax.Array:
+    """Pixels -> [-1,1]-ish coords, aspect preserved (reference:
+    LightGlue::normalizeKeypoints src/LightGlue.cpp:28-51)."""
+    size = jnp.asarray([width, height], jnp.float32)
+    shift = size / 2.0
+    scale = jnp.max(size) / 2.0
+    return (xy - shift) / scale
+
+
+def _rotary(x: jax.Array, angles: jax.Array) -> jax.Array:
+    """Apply pairwise rotation to features. x: (..., n, d) with d even;
+    angles: (..., n, d/2)."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    c = jnp.cos(angles)
+    s = jnp.sin(angles)
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.reshape(x.shape)
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int = 4
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, q_mask, kv_mask, q_angles=None,
+                 kv_angles=None):
+        D, H = self.dim, self.heads
+        hd = D // H
+        dt = self.compute_dtype
+        q = nn.Dense(D, name="q")(q_in)
+        k = nn.Dense(D, name="k")(kv_in)
+        v = nn.Dense(D, name="v")(kv_in)
+        if q_angles is not None:
+            q = _rotary(q, jnp.tile(q_angles, (1, H)))
+            k = _rotary(k, jnp.tile(kv_angles, (1, H)))
+        q = q.reshape(q.shape[:-1] + (H, hd)).astype(dt)
+        k = k.reshape(k.shape[:-1] + (H, hd)).astype(dt)
+        v = v.reshape(v.shape[:-1] + (H, hd)).astype(dt)
+        logits = jnp.einsum('...qhd,...khd->...hqk', q, k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        logits = jnp.where(kv_mask[..., None, None, :], logits, NEG)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum('...hqk,...khd->...qhd', attn.astype(dt), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(out.shape[:-2] + (D,))
+        out = jnp.where(q_mask[..., None], out, 0.0)
+        return nn.Dense(D, name="proj")(out)
+
+
+class GlueLayer(nn.Module):
+    dim: int
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, d0, d1, m0, m1, ang0, ang1):
+        # self-attention (with rotary positions)
+        sa = Attention(self.dim, self.heads, name="self_attn")
+        d0 = d0 + nn.Dense(self.dim, name="self_mlp0b")(nn.gelu(
+            nn.Dense(2 * self.dim, name="self_mlp0a")(
+                jnp.concatenate([d0, sa(d0, d0, m0, m0, ang0, ang0)], -1))))
+        d1 = d1 + nn.Dense(self.dim, name="self_mlp1b")(nn.gelu(
+            nn.Dense(2 * self.dim, name="self_mlp1a")(
+                jnp.concatenate([d1, sa(d1, d1, m1, m1, ang1, ang1)], -1))))
+        # cross-attention (shared weights both directions)
+        ca = Attention(self.dim, self.heads, name="cross_attn")
+        c0 = ca(d0, d1, m0, m1)
+        c1 = ca(d1, d0, m1, m0)
+        d0 = d0 + nn.Dense(self.dim, name="cross_mlp0b")(nn.gelu(
+            nn.Dense(2 * self.dim, name="cross_mlp0a")(
+                jnp.concatenate([d0, c0], -1))))
+        d1 = d1 + nn.Dense(self.dim, name="cross_mlp1b")(nn.gelu(
+            nn.Dense(2 * self.dim, name="cross_mlp1a")(
+                jnp.concatenate([d1, c1], -1))))
+        return d0, d1
+
+
+class LightGlue(nn.Module):
+    """Match two padded keypoint sets.
+
+    Inputs: xy0/xy1 normalized coords (B,N,2), desc0/desc1 (B,N,D_in),
+    mask0/mask1 (B,N). Output: log assignment scores (B,N,N) plus
+    matchability (B,N) per side.
+    """
+    dim: int = 128
+    depth: int = 6
+    heads: int = 4
+    input_dim: int = 256
+
+    @nn.compact
+    def __call__(self, xy0, xy1, desc0, desc1, mask0, mask1):
+        in_proj = nn.Dense(self.dim, name="in_proj")   # shared for both sides
+        d0 = in_proj(desc0)
+        d1 = in_proj(desc1)
+        # learned rotary frequencies over 2D positions
+        hd = self.dim // self.heads
+        freq = self.param("pos_freq", nn.initializers.normal(1.0),
+                          (2, hd // 2))
+        ang0 = jnp.einsum('...nj,jk->...nk', xy0, freq) * 6.2832
+        ang1 = jnp.einsum('...nj,jk->...nk', xy1, freq) * 6.2832
+
+        for i in range(self.depth):
+            d0, d1 = GlueLayer(self.dim, self.heads, name=f"layer{i}")(
+                d0, d1, mask0, mask1, ang0, ang1)
+
+        # assignment head
+        p0 = nn.Dense(self.dim, name="final_proj0")(d0)
+        p1 = nn.Dense(self.dim, name="final_proj1")(d1)
+        sim = jnp.einsum('...nd,...md->...nm', p0, p1) / (self.dim ** 0.5)
+        sim = jnp.where(mask0[..., :, None] & mask1[..., None, :], sim, NEG)
+        z0 = jax.nn.log_sigmoid(
+            nn.Dense(1, name="match0")(d0)[..., 0])       # matchability
+        z1 = jax.nn.log_sigmoid(nn.Dense(1, name="match1")(d1)[..., 0])
+        # dual-softmax in log space + matchability
+        ls_r = jax.nn.log_softmax(sim, axis=-1)
+        ls_c = jax.nn.log_softmax(sim, axis=-2)
+        scores = ls_r + ls_c + z0[..., :, None] + z1[..., None, :]
+        return scores, z0, z1
+
+
+class MatcherState:
+    """Bundle of params + static config for convenient calls."""
+
+    def __init__(self, params, model: LightGlue, width: int, height: int):
+        self.params = params
+        self.model = model
+        self.width = width
+        self.height = height
+
+
+def init_matcher(key, width=640, height=480, n=512, input_dim=256,
+                 dim=128, depth=6) -> MatcherState:
+    model = LightGlue(dim=dim, depth=depth, input_dim=input_dim)
+    xy = jnp.zeros((1, n, 2))
+    d = jnp.zeros((1, n, input_dim))
+    m = jnp.ones((1, n), bool)
+    params = model.init(key, xy, xy, d, d, m, m)
+    return MatcherState(params, model, width, height)
+
+
+@partial(jax.jit, static_argnames=("model",))
+def _forward(model, params, xy0n, xy1n, d0, d1, m0, m1):
+    return model.apply(params, xy0n, xy1n, d0, d1, m0, m1)
+
+
+def match(ms: MatcherState, xy0, desc0, mask0, xy1, desc1, mask1,
+          threshold: float = 0.05):
+    """Match two single-image keypoint sets -> (idx [N], score [N], ok [N])
+    per query in image0 (reference filter semantics: score >= 0.05 + mutual,
+    src/LightGlue.cpp:98-122)."""
+    xy0n = normalize_keypoints(xy0, ms.width, ms.height)[None]
+    xy1n = normalize_keypoints(xy1, ms.width, ms.height)[None]
+    scores, _, _ = _forward(ms.model, ms.params, xy0n, xy1n, desc0[None],
+                            desc1[None], mask0[None], mask1[None])
+    s = jnp.exp(scores[0])
+    idx = jnp.argmax(s, axis=1)
+    best = jnp.max(s, axis=1)
+    rev = jnp.argmax(s, axis=0)
+    mutual = jnp.take(rev, idx) == jnp.arange(s.shape[0])
+    ok = mutual & (best >= threshold) & mask0 & jnp.take(mask1, idx)
+    return idx.astype(jnp.int32), best, ok

@@ -1,0 +1,286 @@
+"""Local mapping: keyframe processing, landmark creation, local BA, culling.
+
+The keyframe-rate back-end, mirroring the reference's LocalMapping thread
+pipeline (src/LocalMapping.cc:66-300): ProcessNewKeyFrame -> MapPointCulling
+-> CreateNewMapPoints -> SearchInNeighbors(Fuse) -> LocalBundleAdjustment ->
+KeyFrameCulling. TPU re-design: the whole pipeline is a handful of jitted
+fixed-shape programs over the functional MapState; instead of a concurrent
+thread with queues and stop-flags, the System interleaves a mapping step
+after each keyframe insertion (two-rate loop, SURVEY.md §7), and BA is
+bounded-iteration rather than interruptible.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dani_slam_tpu.core import cameras as _cam
+from dani_slam_tpu.core import lie, state as mstate
+from dani_slam_tpu.ops import ba as ba_ops
+from dani_slam_tpu.ops import matching
+
+CHI2_MONO = 5.991
+
+
+# ---------------------------------------------------------------------------
+# Landmark creation (reference: LocalMapping::CreateNewMapPoints
+# src/LocalMapping.cc:390-715 — per covisible neighbor: SearchForTriangulation
+# then per-match triangulation with parallax/reprojection/scale checks)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
+                         n_neighbors: int = 5,
+                         th_desc: float = 0.7, reproj_px: float = 2.0,
+                         min_parallax_cos: float = 0.99995):
+    """Triangulate new landmarks between kf_new and its best covisible
+    neighbors. Static loop over n_neighbors; each pair does one dense mutual
+    matching + batched triangulation + masked insert."""
+    neigh, w = mstate.best_covisible(st, kf_new, n_neighbors)
+
+    R1 = st.kf_R[kf_new]
+    t1 = st.kf_t[kf_new]
+    kp1 = st.kf_kp[kf_new]
+    d1 = st.kf_desc[kf_new]
+
+    for i in range(n_neighbors):
+        kc = neigh[i]
+        pair_ok = (w[i] > 0) & st.kf_mask[kc]
+
+        unb1 = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
+        unb2 = (st.obs_lm[kc] < 0) & st.kf_kp_mask[kc]
+        kp2 = st.kf_kp[kc]
+        d2 = st.kf_desc[kc]
+        R2 = st.kf_R[kc]
+        t2 = st.kf_t[kc]
+
+        # mutual NN (no window: wide-baseline pairs)
+        dmat = matching.desc_distance_matrix(d1, d2)
+        m = matching.masked_match(dmat, unb1[:, None] & unb2[None, :],
+                                  th=th_desc, mutual=True)
+
+        # relative pose: cam2-from-cam1
+        R21, t21 = lie.se3_mul(R2, t2, *lie.se3_inv(R1, t1))
+        r1 = _cam.unproject(cam, kp1)
+        r2_all = _cam.unproject(cam, kp2)
+        r2 = r2_all[m.idx]
+
+        X1 = _cam.triangulate_two_view(r1, r2, R21, t21)  # in cam1 frame
+        z1 = X1[:, 2]
+        X2 = lie.se3_apply(R21, t21, X1)
+        z2 = X2[:, 2]
+        # reprojection checks in both views
+        e1 = _cam.project(cam, X1) - kp1
+        e2 = _cam.project(cam, X2) - kp2[m.idx]
+        ok_rep = ((jnp.sum(e1 * e1, -1) < reproj_px ** 2 * CHI2_MONO) &
+                  (jnp.sum(e2 * e2, -1) < reproj_px ** 2 * CHI2_MONO))
+        # parallax
+        C2 = -jnp.einsum('ji,j->i', R21, t21)
+        dir1 = X1
+        dir2 = X1 - C2
+        cosp = jnp.einsum('ni,ni->n', dir1, dir2) / (
+            jnp.linalg.norm(dir1, axis=-1) *
+            jnp.linalg.norm(dir2, axis=-1)).clip(1e-9)
+        good = (m.ok & pair_ok & (z1 > 0) & (z2 > 0) & ok_rep &
+                (cosp < min_parallax_cos))
+
+        # world position
+        Xw = lie.se3_apply(*lie.se3_inv(R1, t1), X1)
+        # camera center for normal/dist band
+        C1w = -jnp.einsum('ji,j->i', R1, t1)
+        vnorm = Xw - C1w
+        dist = jnp.linalg.norm(vnorm, axis=-1).clip(1e-9)
+        normal = vnorm / dist[:, None]
+
+        st, slots = mstate.insert_landmarks(
+            st, Xw, d1, normal, dist * 0.8, dist * 1.3,
+            jnp.full((kp1.shape[0],), kf_new, jnp.int32),
+            jnp.full((kp1.shape[0],), kf_new, jnp.int32), good)
+        # bind observations in both keyframes
+        arange = jnp.arange(kp1.shape[0], dtype=jnp.int32)
+        bound = good & (slots >= 0)
+        st = mstate.add_observations(st, kf_new, arange, slots, bound)
+        st = mstate.add_observations(st, kc, m.idx, slots, bound)
+    return st
+
+
+@jax.jit
+def create_depth_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
+                           max_depth: jax.Array | float = 1e9):
+    """RGB-D/stereo: create landmarks directly from measured depth for
+    unbound keypoints (reference: close-point creation at KF insertion,
+    src/Tracking.cc:3320-3390)."""
+    kp = st.kf_kp[kf_new]
+    depth = st.kf_depth[kf_new]
+    unb = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
+    good = unb & jnp.isfinite(depth) & (depth > 0) & (depth < max_depth)
+    R1 = st.kf_R[kf_new]
+    t1 = st.kf_t[kf_new]
+    rays = _cam.unproject(cam, kp)
+    Xc = rays * depth[:, None]
+    Xw = lie.se3_apply(*lie.se3_inv(R1, t1), Xc)
+    C1w = -jnp.einsum('ji,j->i', R1, t1)
+    vnorm = Xw - C1w
+    dist = jnp.linalg.norm(vnorm, axis=-1).clip(1e-9)
+    st, slots = mstate.insert_landmarks(
+        st, Xw, st.kf_desc[kf_new], vnorm / dist[:, None],
+        dist * 0.8, dist * 1.3,
+        jnp.full((kp.shape[0],), kf_new, jnp.int32),
+        jnp.full((kp.shape[0],), kf_new, jnp.int32), good)
+    arange = jnp.arange(kp.shape[0], dtype=jnp.int32)
+    st = mstate.add_observations(st, kf_new, arange, slots,
+                                 good & (slots >= 0))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Fuse duplicated landmarks into neighbor keyframes
+# (reference: LocalMapping::SearchInNeighbors src/LocalMapping.cc:716-900)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
+                        n_neighbors: int = 5, radius: float = 3.0):
+    """Project kf_new's landmarks into neighbor KFs; bind to unassociated
+    keypoints that match (duplicate merging is handled implicitly: if the
+    target keypoint already observes another landmark we leave it — full
+    replace logic comes with loop closing)."""
+    neigh, w = mstate.best_covisible(st, kf_new, n_neighbors)
+    obs_new = st.obs_lm[kf_new]
+    has_lm = obs_new >= 0
+    lm_ids = jnp.where(has_lm, obs_new, 0)
+    lm_pos = st.lm_pos[lm_ids]
+    lm_desc = st.lm_desc[lm_ids]
+
+    for i in range(n_neighbors):
+        kc = neigh[i]
+        pair_ok = (w[i] > 0) & st.kf_mask[kc]
+        Rc = st.kf_R[kc]
+        tc = st.kf_t[kc]
+        xy, vis, _, _ = matching.project_landmarks(
+            Rc, tc, cam, lm_pos, has_lm & pair_ok & st.lm_mask[lm_ids])
+        unb = (st.obs_lm[kc] < 0) & st.kf_kp_mask[kc]
+        m = matching.fuse_candidates(xy, vis, lm_desc, st.kf_kp[kc], unb,
+                                     st.kf_desc[kc], radius=radius)
+        st = mstate.add_observations(st, kc, m.idx, lm_ids, m.ok)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Local BA window gather + solve
+# (reference: Optimizer::LocalBundleAdjustment src/Optimizer.cc:1116-1499)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("P_opt", "P_fix", "L_loc", "iters"))
+def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
+                            P_opt: int = 8, P_fix: int = 8,
+                            L_loc: int = 4096, iters: int = 8):
+    """Optimize the covisibility window around center_kf.
+
+    Window: center + its (P_opt-1) best covisible KFs are optimized; the
+    P_fix next-best observers of the window's landmarks are fixed anchors
+    (gauge). Landmarks: up to L_loc observed by the optimized set.
+    """
+    K, N = st.obs_lm.shape
+
+    # --- select optimized keyframes ---
+    wrow = jnp.where(st.kf_mask, st.covis[center_kf], -1).at[center_kf].set(-1)
+    top_idx, top_w = jax.lax.top_k(wrow, P_opt - 1)
+    opt_idx = jnp.concatenate([center_kf[None], top_idx])      # [P_opt]
+    opt_real = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
+    opt_real &= st.kf_mask[opt_idx]
+    kf_sel = jnp.zeros((K,), bool).at[jnp.where(opt_real, opt_idx, K - 1)].max(
+        opt_real)
+
+    # --- landmarks observed by the optimized set ---
+    lm_sel = mstate.local_map_landmark_mask(st, kf_sel)        # [L]
+    # compress to L_loc local slots
+    lkey = jnp.where(lm_sel, jnp.arange(st.caps.L), st.caps.L + jnp.arange(st.caps.L))
+    order = jnp.argsort(lkey)[:L_loc]
+    loc_lm = order                                             # [L_loc] global ids
+    loc_lm_valid = lm_sel[loc_lm]
+    inv = jnp.full((st.caps.L,), -1, jnp.int32).at[loc_lm].set(
+        jnp.arange(L_loc, dtype=jnp.int32))
+    inv = jnp.where(lm_sel, inv, -1)   # only selected map to local
+
+    # --- fixed keyframes: other observers of the selected landmarks ---
+    obs_valid = st.obs_lm >= 0
+    obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
+    sees_local = obs_valid & (jnp.take(inv, obs_safe) >= 0)    # [K,N]
+    observer_cnt = jnp.sum(sees_local, axis=1).astype(jnp.int32)
+    observer_cnt = jnp.where(st.kf_mask & ~kf_sel, observer_cnt, 0)
+    fix_idx = jax.lax.top_k(observer_cnt, P_fix)[1]
+    fix_real = observer_cnt[fix_idx] > 0
+
+    all_idx = jnp.concatenate([opt_idx, fix_idx])              # [P]
+    all_real = jnp.concatenate([opt_real, fix_real])
+    P = P_opt + P_fix
+    # Gauge: out-of-window observers are fixed anchors (reference fixes
+    # observer KFs + the map-origin KF, src/Optimizer.cc:1220-1260). The
+    # OLDEST keyframe in the window is always fixed too — keyframe slots are
+    # allocated in creation order, so the smallest occupied slot index is the
+    # oldest; anchoring it prevents tracking drift in the newest KF from
+    # dragging the established map (fresh-map regime has no out-of-window
+    # observers at all).
+    oldest_pos = jnp.argmin(jnp.where(opt_real, opt_idx, st.caps.K + 1))
+    pose_fixed = jnp.concatenate([jnp.zeros(P_opt, bool),
+                                  jnp.ones(P_fix, bool)])
+    pose_fixed = pose_fixed.at[oldest_pos].set(True)
+
+    # --- observations from the window ---
+    # rows: P x N flattened
+    okf = jnp.repeat(jnp.arange(P), N)
+    row_lm = st.obs_lm[all_idx].reshape(-1)
+    row_xy = st.kf_kp[all_idx].reshape(-1, 2)
+    row_valid = ((row_lm >= 0) & st.kf_kp_mask[all_idx].reshape(-1) &
+                 jnp.repeat(all_real, N))
+    row_loc = jnp.take(inv, jnp.where(row_lm >= 0, row_lm, 0))
+    row_valid &= row_loc >= 0
+
+    res = ba_ops.ba_solve(
+        st.kf_R[all_idx], st.kf_t[all_idx], pose_fixed | ~all_real,
+        st.lm_pos[loc_lm], loc_lm_valid, cam,
+        okf, jnp.where(row_valid, row_loc, 0), row_xy, row_valid,
+        iters=iters)
+
+    # --- write back ---
+    upd = all_real & ~pose_fixed
+    safe_idx = jnp.where(upd, all_idx, K - 1)
+    new_R = st.kf_R.at[safe_idx].set(
+        jnp.where(upd[:, None, None], res.R, st.kf_R[safe_idx]))
+    new_t = st.kf_t.at[safe_idx].set(
+        jnp.where(upd[:, None], res.t, st.kf_t[safe_idx]))
+    new_lm = st.lm_pos.at[loc_lm].set(
+        jnp.where(loc_lm_valid[:, None], res.lm_pos, st.lm_pos[loc_lm]))
+    # drop observations classified as outliers (reference erases high-chi2
+    # edges after LBA, src/Optimizer.cc:1391-1420)
+    out_rows = row_valid & ~res.obs_inlier
+    obs_upd = st.obs_lm.at[jnp.repeat(all_idx, N),
+                           jnp.tile(jnp.arange(N), P)].set(
+        jnp.where(out_rows, -1, st.obs_lm[all_idx].reshape(-1)))
+    return dataclasses.replace(st, kf_R=new_R, kf_t=new_t, lm_pos=new_lm,
+                               obs_lm=obs_upd)
+
+
+# ---------------------------------------------------------------------------
+# Culling (reference: LocalMapping::MapPointCulling src/LocalMapping.cc:348)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cull_bad_landmarks(st: mstate.MapState, current_kf_counter: jax.Array,
+                       min_found_ratio: float = 0.25):
+    """Remove landmarks with poor track record: found/visible < 0.25, or
+    still < 2 observations several keyframes after creation (mono rule)."""
+    ratio = st.lm_found.astype(jnp.float32) / jnp.maximum(
+        st.lm_visible.astype(jnp.float32), 1.0)
+    age = current_kf_counter - st.lm_first_kf
+    # Only RECENT landmarks are candidates (the reference walks
+    # mlpRecentAddedMapPoints and drops a point from the list — i.e. it
+    # graduates permanently — after ~3 keyframes).
+    recent = (age <= 3) & (st.lm_first_kf > 0)   # init-map points exempt
+    kill = st.lm_mask & recent & ((ratio < min_found_ratio) |
+                                  ((age >= 2) & (st.lm_n_obs < 2)))
+    return mstate.cull_landmarks(st, kill)

@@ -1,0 +1,447 @@
+"""Tracking: per-frame state machine and jitted device steps.
+
+Mirrors the reference's Tracking thread (src/Tracking.cc:1813 Track() state
+machine: NOT_INITIALIZED -> OK -> RECENTLY_LOST -> LOST) with the TPU
+two-rate design (SURVEY.md §7): the host drives a small Python state machine;
+every compute step (initialization, motion-model tracking, local-map
+tracking, keyframe policy inputs) is a fixed-shape jitted program. The only
+host<->device traffic per frame is the feature upload and a handful of
+scalars (inlier counts) for the state machine.
+
+Covered reference behaviors:
+  * MonocularInitialization (src/Tracking.cc:2468-2545) + CreateInitialMap
+    (2546-2680): two-view RANSAC init, median-depth scale normalization.
+  * TrackWithMotionModel (2874-2968): constant-velocity prediction, window
+    search th=15 (widened x2 on failure), pose optimize, >=10 inliers.
+  * TrackReferenceKeyFrame (2740-2800): descriptor matching vs ref KF
+    (LightGlue/BoW in reference; mutual-NN here), >=15 matches, pose opt.
+  * TrackLocalMap (2969-3099): local covisible set, project & match local
+    landmarks, pose opt, accept threshold 30 (15 inertial).
+  * NeedNewKeyFrame (3100-3267) / CreateNewKeyFrame (3268-3399): tracked
+    ratio vs reference KF, min/max frame gaps, RGB-D close-point rule.
+  * Relocalization (3666-3835): place-recognition candidates + per-candidate
+    pose solve (handled in loopclosing/place recognition module).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dani_slam_tpu.core import cameras as _cam
+from dani_slam_tpu.core import lie, state as mstate
+from dani_slam_tpu.ops import matching, solvers, twoview
+from dani_slam_tpu.slam.frame import FrameFeatures
+
+
+class TrackStepOut(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    bindings: jax.Array      # [N] landmark id per keypoint (-1 none)
+    n_inliers: jax.Array
+    st: mstate.MapState      # counters may be updated
+
+
+# ---------------------------------------------------------------------------
+# Monocular initialization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def match_for_init(f0: FrameFeatures, f1: FrameFeatures):
+    return matching.search_for_initialization(
+        f0.xy, f0.valid, f0.desc, f1.xy, f1.valid, f1.desc)
+
+
+@jax.jit
+def two_view_from_matches(key, cam, f0: FrameFeatures, f1: FrameFeatures,
+                          m: matching.Matches):
+    r0 = _cam.unproject(cam, f0.xy)
+    r1 = _cam.unproject(cam, f1.xy[m.idx])
+    focal = cam.params[0]
+    return twoview.two_view_init(key, r0, r1, m.ok, focal)
+
+
+@jax.jit
+def build_initial_map(st: mstate.MapState, cam, f0: FrameFeatures,
+                      f1: FrameFeatures, m: matching.Matches,
+                      tv: twoview.TwoViewResult, frame_id: jax.Array):
+    """Create the initial two-keyframe map (reference:
+    CreateInitialMapMonocular src/Tracking.cc:2546-2680 — insert 2 KFs +
+    points, 20-iteration GBA, scale so median depth = 1)."""
+    good = m.ok & tv.inliers
+    # median-depth normalization over inlier points
+    z = tv.pts3d[:, 2]
+    z_masked = jnp.where(good, z, jnp.nan)
+    med = jnp.nanmedian(z_masked)
+    scale = 1.0 / jnp.maximum(med, 1e-6)
+    pts = tv.pts3d * scale
+    t21 = tv.t21 * scale
+
+    N = f0.xy.shape[0]
+    # landmark rows indexed by f0 keypoint
+    C0 = jnp.zeros(3)
+    dist = jnp.linalg.norm(pts - C0, axis=-1).clip(1e-9)
+    normal = pts / dist[:, None]
+
+    st, slots = mstate.insert_landmarks(
+        st, pts, f0.desc, normal, dist * 0.8, dist * 1.3,
+        jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), good)
+
+    bind0 = jnp.where(good & (slots >= 0), slots, -1)
+    # bindings for f1: scatter via match idx
+    bind1 = jnp.full((N,), -1, jnp.int32).at[m.idx].set(
+        jnp.where(good & (slots >= 0), slots, -1))
+
+    st, k0 = mstate.insert_keyframe(
+        st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id - 1, f0.xy, f0.valid,
+        f0.desc, f0.depth, jnp.zeros((N,), jnp.int8), bind0)
+    st, k1 = mstate.insert_keyframe(
+        st, tv.R21, t21, f1.time, frame_id, f1.xy, f1.valid, f1.desc,
+        f1.depth, jnp.zeros((N,), jnp.int8), bind1)
+    return st, k0, k1, bind1, tv.R21, t21
+
+
+# ---------------------------------------------------------------------------
+# RGB-D / stereo initialization (reference: StereoInitialization
+# src/Tracking.cc:2355-2467 — needs N>500 kps, creates points from depth)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def build_initial_map_rgbd(st: mstate.MapState, cam, f0: FrameFeatures,
+                           frame_id: jax.Array):
+    N = f0.xy.shape[0]
+    good = f0.valid & jnp.isfinite(f0.depth) & (f0.depth > 0)
+    rays = _cam.unproject(cam, f0.xy)
+    pts = rays * f0.depth[:, None]
+    dist = jnp.linalg.norm(pts, axis=-1).clip(1e-9)
+    st, slots = mstate.insert_landmarks(
+        st, pts, f0.desc, pts / dist[:, None], dist * 0.8, dist * 1.3,
+        jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), good)
+    bind0 = jnp.where(good & (slots >= 0), slots, -1)
+    st, k0 = mstate.insert_keyframe(
+        st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id, f0.xy, f0.valid,
+        f0.desc, f0.depth, jnp.zeros((N,), jnp.int8), bind0)
+    return st, k0, bind0
+
+
+# ---------------------------------------------------------------------------
+# Per-frame tracking steps
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("use_depth",))
+def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
+                       last_bind: jax.Array, R_pred, t_pred,
+                       radius: jax.Array | float = 15.0,
+                       use_depth: bool = False) -> TrackStepOut:
+    """Project last frame's landmarks with the constant-velocity prediction
+    and match in a window (reference: TrackWithMotionModel
+    src/Tracking.cc:2874 + SearchByProjection LGmatcher.cpp:1627)."""
+    has = (last_bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(last_bind, 0))
+    lm_ids = jnp.where(has, last_bind, 0)
+    lm_pos = st.lm_pos[lm_ids]
+    lm_desc = st.lm_desc[lm_ids]
+
+    xy, vis, _, _ = matching.project_landmarks(R_pred, t_pred, cam, lm_pos,
+                                               has)
+    m = matching.search_by_projection(xy, vis, lm_desc, feat.xy, feat.valid,
+                                      feat.desc, radius=radius)
+    # bindings on the current frame's keypoints
+    bind = jnp.full((feat.xy.shape[0],), -1, jnp.int32)
+    bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
+        jnp.where(m.ok, lm_ids, -1))
+
+    res = _optimize_with_bindings(st, cam, feat, bind, R_pred, t_pred,
+                                  use_depth)
+    return res
+
+
+@partial(jax.jit, static_argnames=("use_depth",))
+def track_reference_keyframe(st: mstate.MapState, cam, feat: FrameFeatures,
+                             ref_kf: jax.Array, R0, t0,
+                             use_depth: bool = False) -> TrackStepOut:
+    """Match the frame against the reference keyframe's landmarks by pure
+    descriptor mutual-NN (reference: TrackReferenceKeyFrame
+    src/Tracking.cc:2740 — LightGlue-BoW matching there; the learned-matcher
+    path is models/lightglue.py, used when enabled in config)."""
+    obs = st.obs_lm[ref_kf]
+    has = (obs >= 0) & st.kf_kp_mask[ref_kf]
+    lm_ids = jnp.where(has, obs, 0)
+    lm_desc = st.lm_desc[lm_ids]
+    dmat = matching.desc_distance_matrix(lm_desc, feat.desc)
+    m = matching.masked_match(dmat, has[:, None] & feat.valid[None, :],
+                              th=matching.TH_HIGH, ratio=0.9, mutual=True)
+    m = matching.resolve_duplicate_targets(m, feat.xy.shape[0])
+    bind = jnp.full((feat.xy.shape[0],), -1, jnp.int32)
+    bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
+        jnp.where(m.ok, lm_ids, -1))
+    return _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth)
+
+
+def _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth):
+    has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
+    lm_pos = st.lm_pos[jnp.where(has, bind, 0)]
+    res = solvers.pose_optimize(
+        R0, t0, cam, lm_pos, feat.xy, has,
+        obs_depth=feat.depth if use_depth else None,
+        use_depth=use_depth)
+    bind = jnp.where(res.inliers | ~has, bind, -1)   # drop outlier matches
+    return TrackStepOut(res.R, res.t, bind, res.n_inliers, st)
+
+
+@partial(jax.jit, static_argnames=("use_depth",))
+def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
+                    bind: jax.Array, R0, t0, radius: jax.Array | float = 4.0,
+                    use_depth: bool = False) -> TrackStepOut:
+    """Expand matches to the local covisible map and re-optimize
+    (reference: TrackLocalMap src/Tracking.cc:2969 + SearchLocalPoints:3400;
+    UpdateLocalKeyFrames:3514 builds K1 observers + neighbors)."""
+    K = st.caps.K
+    # K1: keyframes observing currently-bound landmarks
+    has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
+    seen = jnp.zeros((st.caps.L,), bool).at[jnp.where(has, bind, 0)].max(has)
+    obs_valid = st.obs_lm >= 0
+    obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
+    overlap = jnp.sum(jnp.take(seen, obs_safe) & obs_valid, axis=1)
+    kf_sel = st.kf_mask & (overlap > 0)
+    # + covisible neighbors of the selected set
+    neigh = jnp.any((st.covis > 10) & kf_sel[None, :], axis=1)
+    kf_sel = kf_sel | (st.kf_mask & neigh)
+
+    lm_sel = mstate.local_map_landmark_mask(st, kf_sel)
+    # exclude already-bound landmarks
+    lm_sel &= ~seen
+
+    xy, vis, _, _ = matching.project_landmarks(
+        R0, t0, cam, st.lm_pos, lm_sel, st.lm_normal, st.lm_dist_min,
+        st.lm_dist_max)
+    m = matching.search_by_projection(xy, vis, st.lm_desc, feat.xy,
+                                      feat.valid & (bind < 0), feat.desc,
+                                      radius=radius)
+    bind2 = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
+        jnp.where(m.ok, jnp.arange(st.caps.L, dtype=jnp.int32), -1))
+    bind2 = jnp.where(bind >= 0, bind, bind2)
+
+    out = _optimize_with_bindings(st, cam, feat, bind2, R0, t0, use_depth)
+
+    # visibility bookkeeping (reference: IncreaseVisible/IncreaseFound,
+    # used by MapPointCulling's found-ratio)
+    vis_ids = jnp.where(vis | seen, jnp.arange(st.caps.L), 0)
+    dvis = jnp.zeros((st.caps.L,), jnp.int32).at[vis_ids].add(
+        (vis | seen).astype(jnp.int32))
+    fin = (out.bindings >= 0)
+    dfound = jnp.zeros((st.caps.L,), jnp.int32).at[
+        jnp.where(fin, out.bindings, 0)].add(fin.astype(jnp.int32))
+    st2 = dataclasses.replace(st, lm_visible=st.lm_visible + dvis,
+                              lm_found=st.lm_found + dfound)
+    return TrackStepOut(out.R, out.t, out.bindings, out.n_inliers, st2)
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracker
+# ---------------------------------------------------------------------------
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+RECENTLY_LOST = "RECENTLY_LOST"
+LOST = "LOST"
+
+
+class Tracker:
+    """Host state machine driving the jitted steps (one per sensor mode).
+
+    The reference runs this as the caller's thread with LocalMapping and
+    LoopClosing in parallel threads; here mapping steps are invoked inline
+    after keyframe insertion (System orchestrates).
+    """
+
+    def __init__(self, cam: _cam.Camera, caps: mstate.MapCaps = None,
+                 sensor: str = "mono", seed: int = 0,
+                 min_inliers_track: int = 10, min_inliers_map: int = 20,
+                 kf_tracked_ratio: float = 0.8, max_frames_between_kf: int = 15,
+                 min_frames_between_kf: int = 0):
+        self.cam = cam
+        self.caps = caps or mstate.MapCaps()
+        self.sensor = sensor
+        self.use_depth = sensor in ("rgbd", "stereo")
+        self.key = jax.random.PRNGKey(seed)
+        self.min_inliers_track = min_inliers_track
+        self.min_inliers_map = min_inliers_map
+        self.kf_tracked_ratio = kf_tracked_ratio
+        self.max_frames_between_kf = max_frames_between_kf
+        self.min_frames_between_kf = min_frames_between_kf
+        self.reset()
+
+    def reset(self):
+        self.st = mstate.empty_map(self.caps)
+        self.state = NOT_INITIALIZED
+        self.frame_id = 0
+        self.init_feat: Optional[FrameFeatures] = None
+        self.last_feat: Optional[FrameFeatures] = None
+        self.last_bind = None
+        self.R = jnp.eye(3)
+        self.t = jnp.zeros(3)
+        self.R_last = jnp.eye(3)
+        self.t_last = jnp.zeros(3)
+        self.vel = None          # (Rv, tv): T_cur * T_last^-1
+        self.ref_kf = 0
+        self.ref_kf_tracked = 0
+        self.last_kf_frame = -999
+        self.frames_lost = 0
+        self.new_kf: Optional[int] = None   # set when a KF was inserted
+        self.trajectory = []     # (time, R_cw, t_cw) per tracked frame
+
+    # -- public API -------------------------------------------------------
+
+    def track(self, feat: FrameFeatures):
+        """Process one frame; returns (state, R_cw, t_cw) — pose is None-ish
+        (identity) until initialized. Sets self.new_kf when a keyframe was
+        created (System then runs the mapping step)."""
+        self.new_kf = None
+        if self.state == NOT_INITIALIZED:
+            self._initialize(feat)
+        else:
+            self._track_frame(feat)
+
+        self.frame_id += 1
+        if self.state == OK:
+            self.trajectory.append((float(feat.time), np.asarray(self.R),
+                                    np.asarray(self.t)))
+        return self.state, self.R, self.t
+
+    # -- init -------------------------------------------------------------
+
+    def _initialize(self, feat: FrameFeatures):
+        if self.sensor in ("rgbd", "stereo"):
+            n_depth = int(jnp.sum(feat.valid & jnp.isfinite(feat.depth)))
+            if n_depth < 50:
+                return
+            self.st, k0, bind = build_initial_map_rgbd(
+                self.st, self.cam, feat, jnp.asarray(self.frame_id))
+            self._post_init(feat, bind, jnp.eye(3), jnp.zeros(3), int(k0))
+            self.new_kf = int(k0)
+            return
+
+        # monocular
+        n_kp = int(jnp.sum(feat.valid))
+        if self.init_feat is None:
+            if n_kp > 100:
+                self.init_feat = feat
+            return
+        if n_kp <= 100:
+            self.init_feat = None
+            return
+        m = match_for_init(self.init_feat, feat)
+        if int(m.ok.sum()) < 100:
+            self.init_feat = feat
+            return
+        self.key, sub = jax.random.split(self.key)
+        tv = two_view_from_matches(sub, self.cam, self.init_feat, feat, m)
+        if not bool(tv.ok):
+            return
+        self.st, k0, k1, bind1, R, t = build_initial_map(
+            self.st, self.cam, self.init_feat, feat, m, tv,
+            jnp.asarray(self.frame_id))
+        self._post_init(feat, bind1, R, t, int(k1))
+        self.new_kf = int(k1)
+        self.init_feat = None
+
+    def _post_init(self, feat, bind, R, t, ref_kf):
+        self.state = OK
+        self.R, self.t = R, t
+        self.R_last, self.t_last = R, t
+        self.last_feat = feat
+        self.last_bind = bind
+        self.ref_kf = ref_kf
+        self.ref_kf_tracked = int((bind >= 0).sum())
+        self.last_kf_frame = self.frame_id
+        self.vel = None
+
+    # -- per-frame tracking ----------------------------------------------
+
+    def _predict(self):
+        if self.vel is None:
+            return self.R, self.t
+        Rv, tv = self.vel
+        return lie.se3_mul(Rv, tv, self.R, self.t)
+
+    def _track_frame(self, feat: FrameFeatures):
+        R_pred, t_pred = self._predict()
+        out = None
+        if self.vel is not None:
+            out = track_motion_model(self.st, self.cam, feat, self.last_bind,
+                                     R_pred, t_pred,
+                                     use_depth=self.use_depth)
+            if int(out.n_inliers) < self.min_inliers_track:
+                # widen search (reference: th *= 2 retry, Tracking.cc:2930)
+                out = track_motion_model(self.st, self.cam, feat,
+                                         self.last_bind, R_pred, t_pred,
+                                         radius=30.0,
+                                         use_depth=self.use_depth)
+        if out is None or int(out.n_inliers) < self.min_inliers_track:
+            out = track_reference_keyframe(self.st, self.cam, feat,
+                                           jnp.asarray(self.ref_kf),
+                                           self.R, self.t,
+                                           use_depth=self.use_depth)
+        if int(out.n_inliers) < self.min_inliers_track:
+            self._on_lost()
+            return
+
+        out2 = track_local_map(self.st, self.cam, feat, out.bindings,
+                               out.R, out.t, use_depth=self.use_depth)
+        self.st = out2.st
+        n = int(out2.n_inliers)
+        if n < self.min_inliers_map:
+            self._on_lost()
+            return
+
+        # success
+        self.state = OK
+        self.frames_lost = 0
+        # re-project onto SO(3): f32 products drift off the manifold and the
+        # velocity feedback below amplifies det error exponentially otherwise
+        R_new = lie.orthonormalize(out2.R)
+        # velocity update (reference: mVelocity = Tcl, Tracking.cc:2227)
+        Ri, ti = lie.se3_inv(self.R_last, self.t_last)
+        self.vel = lie.se3_mul(R_new, out2.t, Ri, ti)
+        self.R_last, self.t_last = R_new, out2.t
+        self.R, self.t = R_new, out2.t
+        self.last_feat = feat
+        self.last_bind = out2.bindings
+
+        if self._need_new_kf(n):
+            self._create_kf(feat, out2.bindings)
+
+    def _on_lost(self):
+        self.frames_lost += 1
+        if self.state == OK:
+            self.state = RECENTLY_LOST
+        elif self.frames_lost > 20:
+            self.state = LOST
+        # keep last pose; prediction continues from velocity
+
+    def _need_new_kf(self, n_tracked: int) -> bool:
+        """Reference: NeedNewKeyFrame c1a/c1b/c1c/c2 conditions
+        (src/Tracking.cc:3197-3229), simplified to the visual-only rules."""
+        since = self.frame_id - self.last_kf_frame
+        if since < self.min_frames_between_kf:
+            return False
+        if n_tracked < 15:
+            return False
+        c1 = since >= self.max_frames_between_kf
+        c2 = n_tracked < self.kf_tracked_ratio * max(self.ref_kf_tracked, 1)
+        return c1 or c2
+
+    def _create_kf(self, feat: FrameFeatures, bind: jax.Array):
+        N = feat.xy.shape[0]
+        self.st, k = mstate.insert_keyframe(
+            self.st, self.R, self.t, feat.time, jnp.asarray(self.frame_id),
+            feat.xy, feat.valid, feat.desc, feat.depth,
+            jnp.zeros((N,), jnp.int8), bind)
+        self.ref_kf = int(k)
+        self.ref_kf_tracked = int((bind >= 0).sum())
+        self.last_kf_frame = self.frame_id
+        self.new_kf = int(k)

@@ -1,0 +1,104 @@
+"""LightGlue model tests: shapes, masking invariants, trainability."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dani_slam_tpu.models import lightglue as lg
+
+RNG = np.random.RandomState(5)
+
+
+def tiny_matcher(n=32, d_in=16):
+    return lg.init_matcher(jax.random.PRNGKey(0), width=64, height=64, n=n,
+                           input_dim=d_in, dim=32, depth=2)
+
+
+class TestForward:
+    def test_shapes(self):
+        ms = tiny_matcher()
+        xy = jnp.asarray(RNG.uniform(0, 64, (32, 2)), jnp.float32)
+        d = jnp.asarray(RNG.randn(32, 16), jnp.float32)
+        m = jnp.ones(32, bool)
+        idx, score, ok = lg.match(ms, xy, d, m, xy, d, m, threshold=0.0)
+        assert idx.shape == (32,) and score.shape == (32,) and ok.shape == (32,)
+
+    def test_padding_invariance(self):
+        """Scores of real keypoints must not depend on padded slots."""
+        ms = tiny_matcher()
+        xy = jnp.asarray(RNG.uniform(0, 64, (32, 2)), jnp.float32)
+        d = jnp.asarray(RNG.randn(32, 16), jnp.float32)
+        mask_full = jnp.zeros(32, bool).at[:16].set(True)
+        xy0n = lg.normalize_keypoints(xy, 64, 64)[None]
+        s1, _, _ = lg._forward(ms.model, ms.params, xy0n, xy0n, d[None],
+                               d[None], mask_full[None], mask_full[None])
+        # poison padded slots
+        d_poison = d.at[16:].set(100.0)
+        xy_p = xy.at[16:].set(-500.0)
+        xy1n = lg.normalize_keypoints(xy_p, 64, 64)[None]
+        s2, _, _ = lg._forward(ms.model, ms.params, xy1n, xy1n,
+                               d_poison[None], d_poison[None],
+                               mask_full[None], mask_full[None])
+        np.testing.assert_allclose(np.asarray(s1[0, :16, :16]),
+                                   np.asarray(s2[0, :16, :16]), atol=1e-3)
+
+    def test_no_matches_to_invalid(self):
+        ms = tiny_matcher()
+        xy = jnp.asarray(RNG.uniform(0, 64, (32, 2)), jnp.float32)
+        d = jnp.asarray(RNG.randn(32, 16), jnp.float32)
+        m0 = jnp.ones(32, bool)
+        m1 = jnp.zeros(32, bool)   # no valid targets
+        _, _, ok = lg.match(ms, xy, d, m0, xy, d, m1, threshold=0.0)
+        assert int(ok.sum()) == 0
+
+
+class TestTraining:
+    def test_overfits_identity_matching(self):
+        """Train the tiny model to match identical descriptor sets; the
+        correct permutation must emerge (verifies gradients flow through
+        attention + dual-softmax)."""
+        ms = tiny_matcher(n=16, d_in=16)
+        model, params = ms.model, ms.params
+
+        def make_batch(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            xy0 = jax.random.uniform(k1, (4, 16, 2), minval=-1, maxval=1)
+            d0 = jax.random.normal(k2, (4, 16, 16))
+            perm = jax.vmap(lambda k: jax.random.permutation(k, 16))(
+                jax.random.split(k3, 4))
+            xy1 = jnp.take_along_axis(xy0, perm[..., None], axis=1)
+            d1 = jnp.take_along_axis(d0, perm[..., None], axis=1)
+            # slot j of image1 holds image0's keypoint perm[j]; the match
+            # target of image0 query i is therefore the INVERSE permutation
+            inv = jnp.argsort(perm, axis=-1)
+            return xy0, d0, xy1, d1, inv
+
+        m = jnp.ones((4, 16), bool)
+        opt = optax.adam(3e-3)
+        ost = opt.init(params)
+
+        @jax.jit
+        def step(params, ost, key):
+            xy0, d0, xy1, d1, perm = make_batch(key)
+
+            def loss_fn(p):
+                scores, _, _ = model.apply(p, xy0, xy1, d0, d1, m, m)
+                # negative log-likelihood of the true assignment
+                ll = jnp.take_along_axis(scores, perm[..., None],
+                                         axis=-1)[..., 0]
+                return -jnp.mean(ll)
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, ost = opt.update(g, ost)
+            return optax.apply_updates(params, up), ost, loss
+
+        key = jax.random.PRNGKey(1)
+        for i in range(60):
+            key, sub = jax.random.split(key)
+            params, ost, loss = step(params, ost, sub)
+
+        # evaluate accuracy on a fresh batch
+        xy0, d0, xy1, d1, perm = make_batch(jax.random.PRNGKey(99))
+        scores, _, _ = model.apply(params, xy0, xy1, d0, d1, m, m)
+        pred = jnp.argmax(scores, axis=-1)
+        acc = float((pred == perm).mean())
+        assert acc > 0.9, f"matcher failed to learn: acc={acc}"

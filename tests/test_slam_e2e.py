@@ -1,0 +1,103 @@
+"""End-to-end SLAM tests on synthetic worlds (the system-level harness the
+reference lacks; SURVEY.md §4)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dani_slam_tpu.core import cameras, state as mstate
+from dani_slam_tpu.slam.system import Sensor, System
+from dani_slam_tpu.utils import eval as ev
+from dani_slam_tpu.utils import synthetic
+
+CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
+CAPS = mstate.MapCaps(K=64, L=8192, N=512, D=64)
+
+
+def run_sequence(sensor, n_frames=40, n_points=1500, radius=10.0,
+                 angle_span=0.8, noise_px=0.3, seed=0):
+    world = synthetic.make_world(n_points, desc_dim=64, seed=seed)
+    R_gt, t_gt = synthetic.orbit_trajectory(n_frames, radius=radius,
+                                            angle_span=angle_span)
+    sys = System(CAM, sensor, caps=CAPS, n_features=512, seed=seed)
+    states = []
+    for i in range(n_frames):
+        feat, _ = synthetic.render_frame(
+            world, CAM, R_gt[i], t_gt[i], n_max=512, noise_px=noise_px,
+            seed=seed * 1000 + i, with_depth=(sensor == Sensor.RGBD),
+            time=i / 30.0)
+        s, R, t = sys.track_features(feat)
+        states.append(s)
+    return sys, states, (R_gt, t_gt)
+
+
+class TestMonocular:
+    def test_initializes_and_tracks(self):
+        sys, states, (R_gt, t_gt) = run_sequence(Sensor.MONOCULAR)
+        assert states[-1] == "OK"
+        n_ok = sum(1 for s in states if s == "OK")
+        assert n_ok >= 30
+        assert sys.n_keyframes() >= 2
+        assert sys.n_landmarks() > 100
+
+    def test_trajectory_accuracy_scaled_ate(self):
+        sys, states, (R_gt, t_gt) = run_sequence(Sensor.MONOCULAR)
+        traj = sys.tracker.trajectory
+        est = ev.centers_from_tcw(np.stack([p[1] for p in traj]),
+                                  np.stack([p[2] for p in traj]))
+        times = np.asarray([p[0] for p in traj])
+        idx = (times * 30).round().astype(int)
+        gt = ev.centers_from_tcw(np.asarray(R_gt)[idx], np.asarray(t_gt)[idx])
+        # monocular: scale-aligned ATE; world units ~ meters, orbit r=10
+        err = ev.ate_rmse(est, gt, with_scale=True)
+        assert err < 0.15, f"scaled ATE {err:.3f} m too high"
+
+
+class TestRGBD:
+    def test_initializes_first_frame(self):
+        sys, states, _ = run_sequence(Sensor.RGBD, n_frames=10)
+        assert states[0] == "OK"
+
+    def test_metric_trajectory_accuracy(self):
+        sys, states, (R_gt, t_gt) = run_sequence(Sensor.RGBD)
+        assert all(s == "OK" for s in states)
+        traj = sys.tracker.trajectory
+        est = ev.centers_from_tcw(np.stack([p[1] for p in traj]),
+                                  np.stack([p[2] for p in traj]))
+        times = np.asarray([p[0] for p in traj])
+        idx = (times * 30).round().astype(int)
+        gt = ev.centers_from_tcw(np.asarray(R_gt)[idx], np.asarray(t_gt)[idx])
+        err = ev.ate_rmse(est, gt, with_scale=False)  # metric, no scale align
+        assert err < 0.05, f"metric ATE {err:.3f} m too high"
+
+    def test_map_grows_and_culls(self):
+        sys, states, _ = run_sequence(Sensor.RGBD, n_frames=30)
+        assert sys.n_landmarks() > 200
+        assert sys.n_landmarks() < CAPS.L
+
+
+class TestRobustness:
+    def test_survives_feature_dropout(self):
+        # half the frames have far fewer features
+        world = synthetic.make_world(1200, desc_dim=64, seed=3)
+        R_gt, t_gt = synthetic.orbit_trajectory(30, radius=10.0,
+                                                angle_span=0.6)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512)
+        ok = 0
+        for i in range(30):
+            n = 512 if i % 2 == 0 else 150
+            feat, _ = synthetic.render_frame(
+                world, CAM, R_gt[i], t_gt[i], n_max=n, noise_px=0.3,
+                seed=7000 + i, with_depth=True, time=i / 30.0)
+            # pad to fixed N
+            if n < 512:
+                pad = 512 - n
+                feat = type(feat)(
+                    xy=jnp.pad(feat.xy, ((0, pad), (0, 0))),
+                    desc=jnp.pad(feat.desc, ((0, pad), (0, 0))),
+                    depth=jnp.pad(feat.depth, (0, pad),
+                                  constant_values=np.inf),
+                    valid=jnp.pad(feat.valid, (0, pad)),
+                    time=feat.time)
+            s, _, _ = sys.track_features(feat)
+            ok += s == "OK"
+        assert ok >= 28
