@@ -266,6 +266,33 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Fused keyframe step — ONE device program per keyframe: insert + landmark
+# creation + fuse + local BA + culling (the whole LocalMapping::Run pipeline,
+# src/LocalMapping.cc:85-107, as a single XLA program).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("use_depth", "do_ba", "n_neighbors"))
+def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
+                  feat_depth, bind, R, t, time, frame_id,
+                  use_depth: bool = False, do_ba: bool = True,
+                  max_depth: float = 40.0, n_neighbors: int = 5):
+    """Insert a keyframe and run the full mapping pipeline. Returns
+    (st, kf_slot, n_tracked)."""
+    N = feat_xy.shape[0]
+    st, k = mstate.insert_keyframe(
+        st, R, t, time, frame_id, feat_xy, feat_valid, feat_desc, feat_depth,
+        jnp.zeros((N,), jnp.int8), bind)
+    if use_depth:
+        st = create_depth_landmarks(st, cam, k, max_depth=max_depth)
+    st = create_new_landmarks(st, cam, k, n_neighbors=n_neighbors)
+    st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors)
+    if do_ba:
+        st = local_bundle_adjustment(st, cam, k)
+    st = cull_bad_landmarks(st, st.next_kf_counter)
+    return st, k, jnp.sum((bind >= 0).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Culling (reference: LocalMapping::MapPointCulling src/LocalMapping.cc:348)
 # ---------------------------------------------------------------------------
 

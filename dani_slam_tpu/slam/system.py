@@ -12,6 +12,7 @@ from __future__ import annotations
 import enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,32 +76,32 @@ class System:
     def track_features(self, feat: FrameFeatures):
         """Pre-extracted features in (synthetic tests / custom frontends)."""
         state, R, t = self.tracker.track(feat)
-        if self.tracker.new_kf is not None and self.enable_mapping:
-            self._mapping_step(self.tracker.new_kf)
+        if (self.tracker.pending_kf is not None and self.enable_mapping):
+            self._keyframe_step()
         return state, R, t
 
     # -- mapping (keyframe-rate) -----------------------------------------
 
-    def _mapping_step(self, kf: int):
-        """Reference: LocalMapping pipeline per keyframe
-        (src/LocalMapping.cc:85-107)."""
-        st = self.tracker.st
-        k = jnp.asarray(kf)
-        if self.tracker.sensor in ("rgbd", "stereo"):
-            st = mapping.create_depth_landmarks(st, self.cam, k,
-                                                max_depth=self.max_depth)
-        st = mapping.create_new_landmarks(st, self.cam, k)
-        st = mapping.fuse_into_neighbors(st, self.cam, k)
+    def _keyframe_step(self):
+        """Fused insert+mapping program (reference: the whole LocalMapping
+        pipeline per keyframe, src/LocalMapping.cc:85-107). One dispatch,
+        one small host pull. Stale bindings to culled landmarks are benign —
+        every tracking step masks them against lm_mask."""
+        tr = self.tracker
+        feat, bind = tr.pending_kf
+        tr.pending_kf = None
         self._kf_count += 1
-        if self._kf_count % self.local_ba_every == 0 and self._kf_count > 1:
-            st = mapping.local_bundle_adjustment(st, self.cam, k)
-        st = mapping.cull_bad_landmarks(st, st.next_kf_counter)
-        # refresh tracker's bindings against culled landmarks
-        self.tracker.st = st
-        lb = self.tracker.last_bind
-        if lb is not None:
-            alive = jnp.take(st.lm_mask, jnp.maximum(lb, 0)) & (lb >= 0)
-            self.tracker.last_bind = jnp.where(alive, lb, -1)
+        do_ba = (self._kf_count % self.local_ba_every == 0
+                 and self._kf_count > 1)
+        st, k, n_tracked = mapping.keyframe_step(
+            tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
+            bind, tr.R, tr.t, feat.time, jnp.asarray(tr.frame_id - 1),
+            use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
+            max_depth=self.max_depth)
+        tr.st = st
+        k_host, n_host = jax.device_get((k, n_tracked))
+        tr.ref_kf = int(k_host)
+        tr.ref_kf_tracked = int(n_host)
 
     # -- misc public API --------------------------------------------------
 

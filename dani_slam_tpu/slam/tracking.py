@@ -241,6 +241,57 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-frame step — ONE device program per tracked frame.
+#
+# The reference pays per-stage host control flow inside one process; under a
+# remote TPU transport every dispatch/sync is a network round-trip, so the
+# whole frame pipeline (predict -> motion-model match+opt -> widened retry ->
+# ref-KF fallback -> local-map track) is fused into a single jitted program
+# with lax.cond selecting the fallback paths on device. The host pulls ONE
+# small scalar bundle per frame for the state machine.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("use_depth", "has_vel"))
+def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
+                     last_bind: jax.Array, R_cur, t_cur, Rv, tv,
+                     ref_kf: jax.Array, min_inliers: int = 10,
+                     use_depth: bool = False, has_vel: bool = True):
+    if has_vel:
+        R_pred, t_pred = lie.se3_mul(Rv, tv, R_cur, t_cur)
+    else:
+        R_pred, t_pred = R_cur, t_cur
+
+    out = track_motion_model(st, cam, feat, last_bind, R_pred, t_pred,
+                             radius=15.0, use_depth=use_depth)
+
+    def widened(_):
+        o = track_motion_model(st, cam, feat, last_bind, R_pred, t_pred,
+                               radius=30.0, use_depth=use_depth)
+        return o.R, o.t, o.bindings, o.n_inliers
+
+    def keep(o):
+        return o.R, o.t, o.bindings, o.n_inliers
+
+    R1, t1, b1, n1 = jax.lax.cond(out.n_inliers < min_inliers, widened,
+                                  lambda _: keep(out), None)
+
+    def refkf(_):
+        o = track_reference_keyframe(st, cam, feat, ref_kf, R_cur, t_cur,
+                                     use_depth=use_depth)
+        return o.R, o.t, o.bindings, o.n_inliers
+
+    R2, t2, b2, n2 = jax.lax.cond(n1 < min_inliers, refkf,
+                                  lambda _: (R1, t1, b1, n1), None)
+
+    out3 = track_local_map(st, cam, feat, b2, R2, t2, use_depth=use_depth)
+    R3 = lie.orthonormalize(out3.R)
+    # velocity for next frame: T_cur_new * T_cur_prev^-1... host composes with
+    # PREVIOUS accepted pose, so return the pose and let host form velocity.
+    counts = jnp.stack([n2, out3.n_inliers]).astype(jnp.int32)
+    return R3, out3.t, out3.bindings, counts, out3.st
+
+
+# ---------------------------------------------------------------------------
 # Host-side tracker
 # ---------------------------------------------------------------------------
 
@@ -289,6 +340,7 @@ class Tracker:
         self.vel = None          # (Rv, tv): T_cur * T_last^-1
         self.ref_kf = 0
         self.ref_kf_tracked = 0
+        self.pending_kf = None
         self.last_kf_frame = -999
         self.frames_lost = 0
         self.new_kf: Optional[int] = None   # set when a KF was inserted
@@ -369,51 +421,33 @@ class Tracker:
         return lie.se3_mul(Rv, tv, self.R, self.t)
 
     def _track_frame(self, feat: FrameFeatures):
-        R_pred, t_pred = self._predict()
-        out = None
-        if self.vel is not None:
-            out = track_motion_model(self.st, self.cam, feat, self.last_bind,
-                                     R_pred, t_pred,
-                                     use_depth=self.use_depth)
-            if int(out.n_inliers) < self.min_inliers_track:
-                # widen search (reference: th *= 2 retry, Tracking.cc:2930)
-                out = track_motion_model(self.st, self.cam, feat,
-                                         self.last_bind, R_pred, t_pred,
-                                         radius=30.0,
-                                         use_depth=self.use_depth)
-        if out is None or int(out.n_inliers) < self.min_inliers_track:
-            out = track_reference_keyframe(self.st, self.cam, feat,
-                                           jnp.asarray(self.ref_kf),
-                                           self.R, self.t,
-                                           use_depth=self.use_depth)
-        if int(out.n_inliers) < self.min_inliers_track:
+        has_vel = self.vel is not None
+        Rv, tv = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
+        R_new, t_new, bind, counts, st = track_frame_step(
+            self.st, self.cam, feat, self.last_bind, self.R, self.t, Rv, tv,
+            jnp.asarray(self.ref_kf), min_inliers=self.min_inliers_track,
+            use_depth=self.use_depth, has_vel=has_vel)
+        n_track, n = (int(c) for c in counts)   # one host sync per frame
+
+        if n_track < self.min_inliers_track or n < self.min_inliers_map:
             self._on_lost()
             return
 
-        out2 = track_local_map(self.st, self.cam, feat, out.bindings,
-                               out.R, out.t, use_depth=self.use_depth)
-        self.st = out2.st
-        n = int(out2.n_inliers)
-        if n < self.min_inliers_map:
-            self._on_lost()
-            return
-
-        # success
+        self.st = st
         self.state = OK
         self.frames_lost = 0
-        # re-project onto SO(3): f32 products drift off the manifold and the
-        # velocity feedback below amplifies det error exponentially otherwise
-        R_new = lie.orthonormalize(out2.R)
-        # velocity update (reference: mVelocity = Tcl, Tracking.cc:2227)
+        # velocity update (reference: mVelocity = Tcl, Tracking.cc:2227);
+        # R_new is re-orthonormalized on device — without it, f32 scale error
+        # feeds back through the velocity chain and grows exponentially
         Ri, ti = lie.se3_inv(self.R_last, self.t_last)
-        self.vel = lie.se3_mul(R_new, out2.t, Ri, ti)
-        self.R_last, self.t_last = R_new, out2.t
-        self.R, self.t = R_new, out2.t
+        self.vel = lie.se3_mul(R_new, t_new, Ri, ti)
+        self.R_last, self.t_last = R_new, t_new
+        self.R, self.t = R_new, t_new
         self.last_feat = feat
-        self.last_bind = out2.bindings
+        self.last_bind = bind
 
         if self._need_new_kf(n):
-            self._create_kf(feat, out2.bindings)
+            self._create_kf(feat, bind)
 
     def _on_lost(self):
         self.frames_lost += 1
@@ -436,12 +470,8 @@ class Tracker:
         return c1 or c2
 
     def _create_kf(self, feat: FrameFeatures, bind: jax.Array):
-        N = feat.xy.shape[0]
-        self.st, k = mstate.insert_keyframe(
-            self.st, self.R, self.t, feat.time, jnp.asarray(self.frame_id),
-            feat.xy, feat.valid, feat.desc, feat.depth,
-            jnp.zeros((N,), jnp.int8), bind)
-        self.ref_kf = int(k)
-        self.ref_kf_tracked = int((bind >= 0).sum())
+        """Record the pending keyframe; the System runs the fused
+        insert+mapping program (slam/mapping.py keyframe_step)."""
+        self.pending_kf = (feat, bind)
         self.last_kf_frame = self.frame_id
-        self.new_kf = int(k)
+        self.new_kf = True
