@@ -1,0 +1,126 @@
+"""Place recognition: on-device descriptor quantization + dense BoW scoring.
+
+Replaces the reference's DBoW3 vocabulary + inverted-file database
+(reference: Thirdparty/DBow3 — k-means tree `Vocabulary.cpp`, inverted file
+`KeyFrameDatabase.cc:mvInvertedFile`; candidate selection
+KeyFrameDatabase::DetectNBestCandidates:606 and
+DetectRelocalizationCandidates:735).
+
+TPU-first re-design: a hierarchical CPU tree walk becomes ONE matmul —
+descriptors [N,D] x codebook [V,D]^T -> argmax word ids; a keyframe's BoW is
+a dense tf-idf vector [V]; database scoring is a single [K,V]x[V] matvec on
+the MXU; the covisibility-group accumulation that DBoW3 does with hash maps
+is a sparse-matrix product with the covisibility mask. No inverted lists, no
+pointer chasing — everything stays in HBM.
+
+The codebook can be k-means-trained on the fly from accumulated descriptors
+(train_codebook) or seeded with random unit vectors (fine for matching
+SuperPoint's unit-norm descriptors when no corpus is available yet).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def random_codebook(key, n_words: int = 1024, dim: int = 256) -> jax.Array:
+    c = jax.random.normal(key, (n_words, dim))
+    return c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def train_codebook(desc: jax.Array, mask: jax.Array, codebook0: jax.Array,
+                   iters: int = 10) -> jax.Array:
+    """Spherical k-means on unit descriptors (masked). One matmul + one
+    scatter-mean per iteration."""
+    V = codebook0.shape[0]
+
+    def step(_, cb):
+        sim = desc @ cb.T                               # [N,V]
+        w = jnp.argmax(sim, axis=-1)
+        w = jnp.where(mask, w, V)                       # park invalid
+        sums = jnp.zeros((V + 1, desc.shape[1])).at[w].add(
+            jnp.where(mask[:, None], desc, 0.0))[:V]
+        norm = jnp.linalg.norm(sums, axis=-1, keepdims=True)
+        return jnp.where(norm > 1e-6, sums / norm.clip(1e-6), cb)
+
+    return jax.lax.fori_loop(0, iters, step, codebook0)
+
+
+@jax.jit
+def quantize(desc: jax.Array, mask: jax.Array, codebook: jax.Array):
+    """Descriptors -> word ids [N] (argmax cosine; -1 for invalid)."""
+    sim = jnp.dot(desc, codebook.T, preferred_element_type=jnp.float32)
+    w = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+    return jnp.where(mask, w, -1)
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def bow_vector(words: jax.Array, n_words: int | None = None,
+               codebook: jax.Array | None = None) -> jax.Array:
+    """Word ids -> L1-normalized term-frequency vector [V]."""
+    V = n_words if n_words is not None else codebook.shape[0]
+    valid = words >= 0
+    tf = jnp.zeros((V,)).at[jnp.where(valid, words, 0)].add(
+        valid.astype(jnp.float32))
+    return tf / jnp.maximum(tf.sum(), 1.0)
+
+
+@jax.jit
+def bow_l1_score(a: jax.Array, b: jax.Array) -> jax.Array:
+    """DBoW3 L1 similarity: s = 1 - 0.5 |a/|a| - b/|b||_1, broadcastable."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
+
+
+class PlaceDB:
+    """Dense BoW database over keyframe slots (device-resident)."""
+
+    def __init__(self, codebook: jax.Array, n_kf: int):
+        self.codebook = codebook
+        self.bow = jnp.zeros((n_kf, codebook.shape[0]))
+
+    def add(self, kf: int, desc: jax.Array, mask: jax.Array):
+        w = quantize(desc, mask, self.codebook)
+        self.bow = self.bow.at[kf].set(bow_vector(w, self.codebook.shape[0]))
+
+    def remove(self, kf: int):
+        self.bow = self.bow.at[kf].set(0.0)
+
+
+@partial(jax.jit, static_argnames=("n_best",))
+def detect_candidates(bow_db: jax.Array, kf_mask: jax.Array,
+                      query_bow: jax.Array, covis: jax.Array,
+                      query_kf: jax.Array, n_best: int = 3,
+                      min_covis_exclude: int = 1):
+    """Loop/merge candidate detection (reference:
+    KeyFrameDatabase::DetectNBestCandidates KeyFrameDatabase.cc:606):
+    score all keyframes, boost by covisibility-group accumulation, exclude
+    the query's own covisible neighborhood, return top-n ids + scores."""
+    scores = bow_l1_score(bow_db, query_bow[None])      # [K]
+    scores = jnp.where(kf_mask, scores, -1.0)
+    # group score: accumulate over covisible sets (matmul with boolean covis)
+    group = (covis > 10).astype(jnp.float32)
+    group = group.at[jnp.arange(group.shape[0]),
+                     jnp.arange(group.shape[0])].set(1.0)
+    acc = group @ jnp.where(kf_mask, jnp.maximum(scores, 0.0), 0.0)
+    # exclude the query itself and its covisible neighbors
+    connected = (covis[query_kf] >= min_covis_exclude)
+    excl = connected | (jnp.arange(bow_db.shape[0]) == query_kf)
+    acc = jnp.where(excl | ~kf_mask, -1.0, acc)
+    vals, idx = jax.lax.top_k(acc, n_best)
+    return idx.astype(jnp.int32), vals
+
+
+@partial(jax.jit, static_argnames=("n_best",))
+def detect_reloc_candidates(bow_db: jax.Array, kf_mask: jax.Array,
+                            query_bow: jax.Array, n_best: int = 5):
+    """Relocalization candidates (reference:
+    DetectRelocalizationCandidates KeyFrameDatabase.cc:735 — shared-word
+    gate, 0.8*max cut, accumulated score): dense scoring + top-k with a
+    0.8*best threshold mask."""
+    scores = jnp.where(kf_mask, bow_l1_score(bow_db, query_bow[None]), -1.0)
+    vals, idx = jax.lax.top_k(scores, n_best)
+    keep = vals >= 0.8 * vals[0]
+    return idx.astype(jnp.int32), vals, keep

@@ -1,0 +1,114 @@
+"""Place-recognition (BoW) and PnP RANSAC tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dani_slam_tpu.core import cameras, lie
+from dani_slam_tpu.models import vocab
+from dani_slam_tpu.ops import pnp
+
+RNG = np.random.RandomState(17)
+CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
+
+
+def unit(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestVocab:
+    def test_quantize_matches_nearest(self):
+        cb = vocab.random_codebook(jax.random.PRNGKey(0), 64, 32)
+        # queries = slightly noisy codewords
+        ids = RNG.randint(0, 64, 100)
+        q = np.asarray(cb)[ids] + RNG.randn(100, 32) * 0.05
+        w = vocab.quantize(jnp.asarray(unit(q), jnp.float32),
+                           jnp.ones(100, bool), cb)
+        assert (np.asarray(w) == ids).mean() > 0.95
+
+    def test_bow_similarity_discriminates(self):
+        cb = vocab.random_codebook(jax.random.PRNGKey(0), 128, 32)
+        descA = unit(RNG.randn(200, 32)).astype(np.float32)
+        descB = unit(RNG.randn(200, 32)).astype(np.float32)
+        m = jnp.ones(200, bool)
+        wA = vocab.quantize(jnp.asarray(descA), m, cb)
+        wA2 = vocab.quantize(jnp.asarray(
+            unit(descA + RNG.randn(200, 32) * 0.05).astype(np.float32)), m, cb)
+        wB = vocab.quantize(jnp.asarray(descB), m, cb)
+        bA = vocab.bow_vector(wA, 128)
+        bA2 = vocab.bow_vector(wA2, 128)
+        bB = vocab.bow_vector(wB, 128)
+        same = float(vocab.bow_l1_score(bA, bA2))
+        diff = float(vocab.bow_l1_score(bA, bB))
+        assert same > diff + 0.2
+
+    def test_detect_candidates_excludes_neighbors(self):
+        K, V = 16, 64
+        cb = vocab.random_codebook(jax.random.PRNGKey(1), V, 32)
+        bow = jnp.zeros((K, V))
+        q = jnp.zeros((V,)).at[:8].set(1 / 8)
+        # kf5 identical to query; kf3 identical but covisible with query kf0
+        bow = bow.at[5].set(q).at[3].set(q)
+        covis = jnp.zeros((K, K), jnp.int32).at[0, 3].set(50).at[3, 0].set(50)
+        kf_mask = jnp.ones(K, bool)
+        idx, vals = vocab.detect_candidates(bow, kf_mask, q, covis,
+                                            jnp.asarray(0), n_best=3)
+        assert int(idx[0]) == 5
+        assert 3 not in set(np.asarray(idx)[np.asarray(vals) > 0].tolist())
+
+    def test_train_codebook_improves_quantization(self):
+        # two well-separated clusters
+        c1 = unit(RNG.randn(1, 16)).repeat(100, 0) + RNG.randn(100, 16) * .05
+        c2 = unit(RNG.randn(1, 16)).repeat(100, 0) + RNG.randn(100, 16) * .05
+        data = jnp.asarray(unit(np.concatenate([c1, c2])), jnp.float32)
+        cb0 = vocab.random_codebook(jax.random.PRNGKey(2), 2, 16)
+        cb = vocab.train_codebook(data, jnp.ones(200, bool), cb0)
+        w = np.asarray(vocab.quantize(data, jnp.ones(200, bool), cb))
+        # each cluster maps to one word
+        assert len(set(w[:100])) == 1 and len(set(w[100:])) == 1
+        assert w[0] != w[150]
+
+
+class TestPnP:
+    def _data(self, n=128, noise=0.5, outlier_frac=0.3, seed=4):
+        rng = np.random.RandomState(seed)
+        pts = rng.randn(n, 3).astype(np.float32)
+        pts[:, 2] = rng.uniform(3, 10, n)
+        pts[:, 0] *= 2
+        xi = jnp.asarray([0.3, -0.1, 0.05, 0.1, -0.2, 0.05])
+        R, t = lie.se3_exp(xi)
+        obs = cameras.project(CAM, lie.se3_apply(R, t, jnp.asarray(pts)))
+        obs = obs + noise * jnp.asarray(rng.randn(n, 2), jnp.float32)
+        n_out = int(n * outlier_frac)
+        obs = obs.at[:n_out].add(
+            jnp.asarray(rng.uniform(40, 120, (n_out, 2)), jnp.float32))
+        return jnp.asarray(pts), obs, (R, t), n_out
+
+    def test_recovers_pose_with_outliers(self):
+        pts, obs, (R_t, t_t), n_out = self._data()
+        res = pnp.pnp_ransac(jax.random.PRNGKey(0), CAM, pts, obs,
+                             jnp.ones(pts.shape[0], bool))
+        assert bool(res.ok)
+        np.testing.assert_allclose(np.asarray(res.R), np.asarray(R_t),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_t),
+                                   atol=2e-2)
+        assert int(res.inliers[:n_out].sum()) < 5
+
+    def test_fails_gracefully_with_garbage(self):
+        rng = np.random.RandomState(9)
+        pts = jnp.asarray(rng.randn(64, 3).astype(np.float32) +
+                          np.array([0, 0, 5], np.float32))
+        obs = jnp.asarray(rng.uniform(0, 640, (64, 2)), jnp.float32)
+        res = pnp.pnp_ransac(jax.random.PRNGKey(1), CAM, pts, obs,
+                             jnp.ones(64, bool))
+        assert not bool(res.ok)
+
+    def test_respects_mask(self):
+        pts, obs, (R_t, t_t), _ = self._data(outlier_frac=0.0)
+        # poison unmasked region
+        obs = obs.at[64:].set(0.0)
+        mask = jnp.zeros(pts.shape[0], bool).at[:64].set(True)
+        res = pnp.pnp_ransac(jax.random.PRNGKey(2), CAM, pts, obs, mask)
+        assert bool(res.ok)
+        np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_t),
+                                   atol=2e-2)
