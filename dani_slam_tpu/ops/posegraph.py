@@ -1,0 +1,134 @@
+"""Sim(3) pose-graph (essential graph) optimization.
+
+Reference: Optimizer::OptimizeEssentialGraph (src/Optimizer.cc:1501 —
+BlockSolver_7_3 over Sim3 vertices with loop edges, spanning-tree edges and
+strong-covisibility edges; 4-DoF yaw+translation variant at :5292 for the
+inertial case).
+
+TPU-first: the graph is dense fixed-size — nodes are the K keyframe slots
+(masked), edges are boolean [K,K] masks with relative Sim3 measurements
+computed on the fly from the pre-correction poses. The linearized system is
+assembled with scatter-adds into a dense (7K,7K) Hessian; at SLAM scale
+(K <= 512) one dense solve on the MXU beats sparse scalar factorization by
+orders of magnitude. Iterations are a fixed-count GN loop inside one jit.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dani_slam_tpu.core import lie
+
+
+def relative_sim3(Ra, ta, sa, Rb, tb, sb):
+    """T_ab = T_a * T_b^-1 for camera-from-world sim3s (a,b batched)."""
+    Rbi, tbi, sbi = lie.sim3_inv(Rb, tb, sb)
+    return lie.sim3_mul(Ra, ta, sa, Rbi, tbi, sbi)
+
+
+@partial(jax.jit, static_argnames=("iters", "fix_scale"))
+def optimize_essential_graph(R: jax.Array, t: jax.Array, s: jax.Array,
+                             edge_mask: jax.Array,
+                             R_meas: jax.Array, t_meas: jax.Array,
+                             s_meas: jax.Array,
+                             fixed: jax.Array, node_mask: jax.Array,
+                             iters: int = 12, fix_scale: bool = False):
+    """Optimize sim3 nodes so relative transforms match measurements.
+
+    R,t,s: [K,...] current camera-from-world sim3 per node.
+    edge_mask: [K,K] bool (i<j convention not required; each True (i,j) adds
+    one residual T_meas_ij^-1 * (T_i * T_j^-1) -> log).
+    R_meas/t_meas/s_meas: [K,K,...] relative measurements T_ij.
+    fixed: [K] bool — gauge anchors (loop KF in the reference).
+    """
+    K = R.shape[0]
+    eidx = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
+                                  indexing='ij'), axis=-1).reshape(-1, 2)
+    emask = (edge_mask & node_mask[:, None] & node_mask[None, :]).reshape(-1)
+
+    def residual_edge(xi_i, xi_j, Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
+        dRi, dti, dsi = lie.sim3_exp(xi_i)
+        dRj, dtj, dsj = lie.sim3_exp(xi_j)
+        Ri2, ti2, si2 = lie.sim3_mul(dRi, dti, dsi, Ri, ti, si)
+        Rj2, tj2, sj2 = lie.sim3_mul(dRj, dtj, dsj, Rj, tj, sj)
+        Rrel, trel, srel = relative_sim3(Ri2, ti2, si2, Rj2, tj2, sj2)
+        Rmi, tmi, smi = lie.sim3_inv(Rm, tm, sm)
+        Re, te, se = lie.sim3_mul(Rmi, tmi, smi, Rrel, trel, srel)
+        return lie.sim3_log(Re, te, se)
+
+    i_all = eidx[:, 0]
+    j_all = eidx[:, 1]
+
+    def gn(_, carry):
+        R_c, t_c, s_c = carry
+        zero = jnp.zeros(7)
+
+        def edge_rJ(i, j):
+            Ri, ti, si = R_c[i], t_c[i], s_c[i]
+            Rj, tj, sj = R_c[j], t_c[j], s_c[j]
+            Rm, tm, sm = R_meas[i, j], t_meas[i, j], s_meas[i, j]
+            r = residual_edge(zero, zero, Ri, ti, si, Rj, tj, sj, Rm, tm, sm)
+            Ji = jax.jacfwd(lambda x: residual_edge(
+                x, zero, Ri, ti, si, Rj, tj, sj, Rm, tm, sm))(zero)
+            Jj = jax.jacfwd(lambda x: residual_edge(
+                zero, x, Ri, ti, si, Rj, tj, sj, Rm, tm, sm))(zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(edge_rJ)(i_all, j_all)       # [E,7],[E,7,7]x2
+        w = emask.astype(jnp.float32)
+
+        H = jnp.zeros((K, K, 7, 7))
+        H = H.at[i_all, i_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Ji, Ji))
+        H = H.at[j_all, j_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Jj, Jj))
+        H = H.at[i_all, j_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Ji, Jj))
+        H = H.at[j_all, i_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Jj, Ji))
+        g = jnp.zeros((K, 7))
+        g = g.at[i_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Ji, r))
+        g = g.at[j_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Jj, r))
+
+        # gauge: zero rows/cols of fixed or invalid nodes
+        freeze = fixed | ~node_mask
+        keep = (~freeze).astype(jnp.float32)
+        H = H * keep[:, None, None, None] * keep[None, :, None, None]
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            freeze[:, None, None].astype(jnp.float32) * jnp.eye(7))
+        g = g * keep[:, None]
+        if fix_scale:
+            H = H.at[:, :, 6, :].set(0.0).at[:, :, :, 6].set(0.0)
+            H = H.at[jnp.arange(K), jnp.arange(K), 6, 6].set(1.0)
+            g = g.at[:, 6].set(0.0)
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+        Hd = Hd + 1e-6 * jnp.eye(7 * K)
+        dx = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(K, 7)
+        dx = dx * keep[:, None]
+        dR, dt, ds = lie.sim3_exp(dx)
+        R_n, t_n, s_n = lie.sim3_mul(dR, dt, ds, R_c, t_c, s_c)
+        return (R_n, t_n, s_n)
+
+    R_o, t_o, s_o = jax.lax.fori_loop(0, iters, gn, (R, t, s))
+    return R_o, t_o, s_o
+
+
+def build_essential_edges(covis: jax.Array, spanning_parent: jax.Array,
+                          loop_edges: jax.Array, kf_mask: jax.Array,
+                          covis_th: int = 100):
+    """Edge mask for the essential graph (reference rule set,
+    src/Optimizer.cc:1563-1650): spanning tree + loop edges + covisibility
+    over threshold."""
+    K = covis.shape[0]
+    e = (covis >= covis_th)
+    par_valid = spanning_parent >= 0
+    rows = jnp.arange(K)
+    par = jnp.where(par_valid, spanning_parent, 0)
+    e = e.at[rows, par].max(par_valid)
+    e = e.at[par, rows].max(par_valid)
+    e = e | loop_edges | loop_edges.T
+    e = e & kf_mask[:, None] & kf_mask[None, :]
+    return e.at[rows, rows].set(False)
