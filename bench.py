@@ -13,6 +13,10 @@ import time
 def main():
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: repeated bench runs (and driver re-runs)
+    # skip the expensive first-compile entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dani_slam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from dani_slam_tpu.core import cameras, state as mstate
     from dani_slam_tpu.slam.system import Sensor, System
@@ -31,17 +35,21 @@ def main():
                                       time=i / 30.0)
         feats.append(jax.device_put(f))
 
+    # warmup pass: run the FULL sequence once so every program variant
+    # (init, track has_vel on/off, keyframe step with/without BA) compiles
     sys = System(cam, Sensor.RGBD, caps=caps, n_features=512)
-    # warmup / compile on first frames
-    for i in range(3):
+    for i in range(n_frames):
         sys.track_features(feats[i])
+    jax.block_until_ready(sys.tracker.st.kf_R)
 
+    # timed pass on a fresh system (all programs cached)
+    sys = System(cam, Sensor.RGBD, caps=caps, n_features=512)
     t0 = time.perf_counter()
-    for i in range(3, n_frames):
+    for i in range(n_frames):
         sys.track_features(feats[i])
     jax.block_until_ready(sys.tracker.st.kf_R)
     dt = time.perf_counter() - t0
-    fps = (n_frames - 3) / dt
+    fps = n_frames / dt
 
     print(json.dumps({
         "metric": "tracking_fps_synthetic_rgbd",

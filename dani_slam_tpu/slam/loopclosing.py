@@ -1,0 +1,260 @@
+"""Loop closing and relocalization.
+
+Reference: src/LoopClosing.cc — place-recognition candidates
+(NewDetectCommonRegions:325 via KeyFrameDatabase), Sim3 verification
+(DetectCommonRegionsFromBoW:579 -> Sim3Solver RANSAC:699 -> OptimizeSim3:768),
+loop correction (CorrectLoop:970 — propagate the corrective Sim3 over the
+covisible group, fuse duplicates, OptimizeEssentialGraph:1179, spawn GBA);
+Tracking::Relocalization (src/Tracking.cc:3666 — BoW candidates ->
+per-candidate matching -> MLPnP RANSAC -> pose optimization).
+
+TPU re-design: the detector is the dense BoW database (models/vocab.py); the
+candidate verification is one fused device program per candidate (landmark
+descriptor matching -> batched Horn Sim3 RANSAC -> GN refinement); loop
+correction transforms ALL keyframes/landmarks with gathered per-node
+corrections in one program, then runs the dense Sim3 pose-graph optimizer.
+Instead of a transient GBA thread, a bounded-iteration global BA program
+runs inline (the reference's thread exists to avoid blocking tracking; the
+two-rate loop schedules it explicitly).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dani_slam_tpu.core import cameras as _cam
+from dani_slam_tpu.core import lie, state as mstate
+from dani_slam_tpu.models import vocab
+from dani_slam_tpu.ops import ba as ba_ops
+from dani_slam_tpu.ops import matching, pnp, posegraph, sim3 as sim3_ops
+
+
+# ---------------------------------------------------------------------------
+# Loop candidate verification
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def match_kf_landmarks(st: mstate.MapState, kf_a: jax.Array,
+                       kf_b: jax.Array, th: float = 0.7):
+    """Mutual-NN match between the landmark descriptors bound in two KFs.
+    Returns camera-frame point pairs + pixel observations for Sim3 solving
+    (reference gathers mvpMapPoints1/2 + mvX3Dc1/2, Sim3Solver.cc:84-112)."""
+    obs_a = st.obs_lm[kf_a]
+    obs_b = st.obs_lm[kf_b]
+    has_a = (obs_a >= 0) & st.kf_kp_mask[kf_a]
+    has_b = (obs_b >= 0) & st.kf_kp_mask[kf_b]
+    la = jnp.where(has_a, obs_a, 0)
+    lb = jnp.where(has_b, obs_b, 0)
+    da = st.lm_desc[la]
+    db = st.lm_desc[lb]
+    d = matching.desc_distance_matrix(da, db)
+    m = matching.masked_match(d, has_a[:, None] & has_b[None, :], th=th,
+                              mutual=True)
+    # camera-frame 3D points of matched landmarks
+    pa = lie.se3_apply(st.kf_R[kf_a], st.kf_t[kf_a], st.lm_pos[la])
+    pb_ids = lb[m.idx]
+    pb = lie.se3_apply(st.kf_R[kf_b], st.kf_t[kf_b], st.lm_pos[pb_ids])
+    return pa, pb, m.ok, st.kf_kp[kf_a], st.kf_kp[kf_b][m.idx], la, pb_ids
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def verify_loop_candidate(st: mstate.MapState, cam, kf_cur: jax.Array,
+                          kf_cand: jax.Array, key, fix_scale: bool = False,
+                          min_inliers: int = 20):
+    """Full geometric verification of one loop candidate. Returns
+    (T12 = (R,t,s) mapping candidate-camera coords into current-camera
+    coords, n_inliers, ok)."""
+    pa, pb, ok, kpa, kpb, la, lb = match_kf_landmarks(st, kf_cur, kf_cand)
+    res = sim3_ops.sim3_ransac(key, cam, cam, pa, pb, ok,
+                               fix_scale=fix_scale, min_inliers=min_inliers)
+    R, t, s, inl, n = sim3_ops.optimize_sim3(
+        cam, cam, res.R, res.t, res.s, pa, kpa, pb, kpb, ok & res.inliers,
+        fix_scale=fix_scale)
+    ok_final = res.ok & (n >= min_inliers)
+    return (R, t, s), n, ok_final
+
+
+# ---------------------------------------------------------------------------
+# Loop correction
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("pg_iters", "fix_scale"))
+def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
+                 kf_cand: jax.Array, T12, pg_iters: int = 10,
+                 fix_scale: bool = False):
+    """Apply a verified loop closure (reference: CorrectLoop
+    src/LoopClosing.cc:970-1215).
+
+    Steps, all on device:
+      1. corrected current pose: T_cur' = T12 * T_cand  (sim3)
+      2. essential-graph optimization with the loop edge added; relative
+         measurements are the PRE-correction relative poses (odometry), the
+         loop edge carries T12, and the candidate side is the gauge anchor.
+      3. landmarks re-expressed through their reference keyframe's
+         correction: X' = T_k'^-1 * T_k * X.
+    """
+    K = st.caps.K
+    R12, t12, s12 = T12
+
+    # current sim3 poses (s=1)
+    s_all = jnp.ones((K,))
+    R_all = st.kf_R
+    t_all = st.kf_t
+
+    # loop edge bookkeeping
+    loop_edges = st.loop_edges.at[kf_cur, kf_cand].set(True)
+
+    # edges + measurements from pre-correction relative poses
+    edges = posegraph.build_essential_edges(
+        st.covis, st.spanning_parent, loop_edges, st.kf_mask, covis_th=30)
+    Rm, tm, sm = jax.vmap(lambda Ri, ti, si: jax.vmap(
+        lambda Rj, tj, sj: posegraph.relative_sim3(Ri, ti, si, Rj, tj, sj))(
+        R_all, t_all, s_all))(R_all, t_all, s_all)
+    # overwrite the loop edge measurement with the verified T12:
+    # T_cur_corrected = T12 * T_cand  =>  T_rel(cur,cand) measured = T12
+    Rm = Rm.at[kf_cur, kf_cand].set(R12)
+    tm = tm.at[kf_cur, kf_cand].set(t12)
+    sm = sm.at[kf_cur, kf_cand].set(s12)
+    Ri12, ti12, si12 = lie.sim3_inv(R12, t12, s12)
+    Rm = Rm.at[kf_cand, kf_cur].set(Ri12)
+    tm = tm.at[kf_cand, kf_cur].set(ti12)
+    sm = sm.at[kf_cand, kf_cur].set(si12)
+
+    fixed = jnp.zeros((K,), bool).at[kf_cand].set(True)
+    R_new, t_new, s_new = posegraph.optimize_essential_graph(
+        R_all, t_all, s_all, edges, Rm, tm, sm, fixed, st.kf_mask,
+        iters=pg_iters, fix_scale=fix_scale)
+
+    # landmark correction via reference keyframe: X' = T_k'^-1 * (T_k X)
+    ref = jnp.clip(st.lm_ref_kf, 0, K - 1)
+    Rk_old = R_all[ref]
+    tk_old = t_all[ref]
+    Rk_new = R_new[ref]
+    tk_new = t_new[ref]
+    sk_new = s_new[ref]
+    Xc = jnp.einsum('lij,lj->li', Rk_old, st.lm_pos) + tk_old
+    Rki, tki, ski = lie.sim3_inv(Rk_new, tk_new, sk_new)
+    X_new = lie.sim3_apply(Rki, tki, ski, Xc)
+    lm_pos = jnp.where(st.lm_mask[:, None], X_new, st.lm_pos)
+
+    # write back: convert sim3 poses to SE3 by folding scale into translation
+    # (camera-from-world: x_c = s R x_w + t  ==  R x_w + t with rescaled map;
+    # after landmark correction above, s is consumed, so keep R, t/1)
+    R_out = lie.orthonormalize(R_new)
+    t_out = t_new / jnp.maximum(s_new[:, None], 1e-9)
+    # NOTE: for the visual (fix_scale) case s==1 and this is exact.
+    return dataclasses.replace(st, kf_R=R_out, kf_t=t_out, lm_pos=lm_pos,
+                               loop_edges=loop_edges)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10,
+                             max_obs_kf: int = 64):
+    """Full-map BA (reference: RunGlobalBundleAdjustment
+    src/LoopClosing.cc:2269 -> Optimizer::BundleAdjustment:60, 10 iters).
+    Optimizes all keyframes (first fixed) + all landmarks."""
+    K, N = st.obs_lm.shape
+    first = jnp.argmax(st.kf_mask)          # lowest occupied slot
+    pose_fixed = (~st.kf_mask) | (jnp.arange(K) == first)
+    okf = jnp.repeat(jnp.arange(K), N)
+    olm = st.obs_lm.reshape(-1)
+    oxy = st.kf_kp.reshape(-1, 2)
+    ovalid = (olm >= 0) & st.kf_kp_mask.reshape(-1)
+    res = ba_ops.ba_solve(st.kf_R, st.kf_t, pose_fixed, st.lm_pos,
+                          st.lm_mask, cam, okf, jnp.where(ovalid, olm, 0),
+                          oxy, ovalid, iters=iters)
+    return dataclasses.replace(
+        st, kf_R=jnp.where(st.kf_mask[:, None, None], res.R, st.kf_R),
+        kf_t=jnp.where(st.kf_mask[:, None], res.t, st.kf_t),
+        lm_pos=jnp.where(st.lm_mask[:, None], res.lm_pos, st.lm_pos))
+
+
+# ---------------------------------------------------------------------------
+# Relocalization (reference: Tracking::Relocalization src/Tracking.cc:3666)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def relocalize_against_kf(st: mstate.MapState, cam, kf: jax.Array,
+                          feat_xy, feat_desc, feat_valid, key):
+    """Match the lost frame against one candidate KF's landmarks and solve
+    PnP RANSAC. Returns (R, t, bindings, n_inliers, ok)."""
+    obs = st.obs_lm[kf]
+    has = (obs >= 0) & st.kf_kp_mask[kf]
+    lm_ids = jnp.where(has, obs, 0)
+    lm_desc = st.lm_desc[lm_ids]
+    d = matching.desc_distance_matrix(lm_desc, feat_desc)
+    m = matching.masked_match(d, has[:, None] & feat_valid[None, :],
+                              th=matching.TH_HIGH, ratio=0.9, mutual=True)
+    m = matching.resolve_duplicate_targets(m, feat_xy.shape[0])
+    # 2D-3D pairs indexed by candidate-KF keypoint rows
+    pts_w = st.lm_pos[lm_ids]
+    obs_xy = feat_xy[m.idx]
+    res = pnp.pnp_ransac(key, cam, pts_w, obs_xy, m.ok & has,
+                         min_inliers=25)
+    # bindings for the frame
+    bind = jnp.full((feat_xy.shape[0],), -1, jnp.int32)
+    okrow = m.ok & res.inliers
+    bind = bind.at[jnp.where(okrow, m.idx, feat_xy.shape[0] - 1)].max(
+        jnp.where(okrow, lm_ids, -1))
+    return res.R, res.t, bind, res.n_inliers, res.ok
+
+
+class LoopCloser:
+    """Host orchestration of place recognition + loop closing.
+
+    Keeps the dense BoW database in device memory; invoked by the System
+    after each keyframe step (reference: the LoopClosing thread drains its
+    keyframe queue, src/LoopClosing.cc:91-320).
+    """
+
+    def __init__(self, cam, caps: mstate.MapCaps, codebook=None, seed=0,
+                 min_kf_gap: int = 10, min_inliers: int = 25,
+                 run_gba: bool = True, fix_scale: bool = False):
+        self.cam = cam
+        key = jax.random.PRNGKey(seed)
+        self.codebook = (codebook if codebook is not None else
+                         vocab.random_codebook(key, 512, caps.D))
+        self.bow = jnp.zeros((caps.K, self.codebook.shape[0]))
+        self.key = key
+        self.min_kf_gap = min_kf_gap
+        self.min_inliers = min_inliers
+        self.run_gba = run_gba
+        self.fix_scale = fix_scale
+        self.last_loop_kf = -10 ** 9
+        self.n_loops = 0
+
+    def on_keyframe(self, st: mstate.MapState, kf: int):
+        """Add KF to the database; attempt loop detection + correction.
+        Returns (possibly corrected) state."""
+        w = vocab.quantize(st.kf_desc[kf], st.kf_kp_mask[kf], self.codebook)
+        self.bow = self.bow.at[kf].set(
+            vocab.bow_vector(w, self.codebook.shape[0]))
+
+        kf_count = int(st.next_kf_counter)
+        if kf_count < 12 or kf_count - self.last_loop_kf < self.min_kf_gap:
+            return st
+
+        idx, vals = vocab.detect_candidates(
+            self.bow, st.kf_mask, self.bow[kf], st.covis, jnp.asarray(kf),
+            n_best=3)
+        best = int(idx[0])
+        if float(vals[0]) <= 0.0 or best == kf:
+            return st
+
+        self.key, sub = jax.random.split(self.key)
+        T12, n, ok = verify_loop_candidate(
+            st, self.cam, jnp.asarray(kf), jnp.asarray(best), sub,
+            min_inliers=self.min_inliers, fix_scale=self.fix_scale)
+        if not bool(ok):
+            return st
+
+        st = correct_loop(st, self.cam, jnp.asarray(kf), jnp.asarray(best),
+                          T12, fix_scale=self.fix_scale)
+        if self.run_gba:
+            st = global_bundle_adjustment(st, self.cam)
+        self.last_loop_kf = kf_count
+        self.n_loops += 1
+        return st

@@ -41,7 +41,8 @@ class System:
                  caps: Optional[mstate.MapCaps] = None, sp_params=None,
                  n_features: int = 1024, seed: int = 0,
                  enable_mapping: bool = True, max_depth: float = 40.0,
-                 local_ba_every: int = 1):
+                 local_ba_every: int = 1, enable_loop_closing: bool = True,
+                 enable_relocalization: bool = True):
         self.cam = cam
         self.sensor = sensor
         self.caps = caps or mstate.MapCaps()
@@ -56,6 +57,15 @@ class System:
         self.max_depth = max_depth
         self.local_ba_every = local_ba_every
         self._kf_count = 0
+        self.loop_closer = None
+        if enable_loop_closing:
+            from dani_slam_tpu.slam.loopclosing import LoopCloser
+            self.loop_closer = LoopCloser(
+                cam, self.caps, seed=seed,
+                fix_scale=mode in ("rgbd", "stereo"))
+        if enable_relocalization:
+            self.tracker.reloc_fn = self._relocalize
+        self._reloc_key = jax.random.PRNGKey(seed + 1)
 
     # -- frame entry points ----------------------------------------------
 
@@ -102,6 +112,32 @@ class System:
         k_host, n_host = jax.device_get((k, n_tracked))
         tr.ref_kf = int(k_host)
         tr.ref_kf_tracked = int(n_host)
+        if self.loop_closer is not None:
+            tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf)
+
+    # -- relocalization (reference: Tracking::Relocalization
+    #    src/Tracking.cc:3666 — BoW candidates -> PnP RANSAC -> pose opt) --
+
+    def _relocalize(self, tracker, feat: FrameFeatures):
+        from dani_slam_tpu.models import vocab as vocab_mod
+        from dani_slam_tpu.slam import loopclosing as lc
+        if self.loop_closer is None or self.n_keyframes() < 2:
+            return None
+        codebook = self.loop_closer.codebook
+        w = vocab_mod.quantize(feat.desc, feat.valid, codebook)
+        qbow = vocab_mod.bow_vector(w, codebook.shape[0])
+        idx, vals, keep = vocab_mod.detect_reloc_candidates(
+            self.loop_closer.bow, tracker.st.kf_mask, qbow, n_best=3)
+        for rank in range(3):
+            if not bool(keep[rank]):
+                continue
+            self._reloc_key, sub = jax.random.split(self._reloc_key)
+            R, t, bind, n, ok = lc.relocalize_against_kf(
+                tracker.st, self.cam, idx[rank], feat.xy, feat.desc,
+                feat.valid, sub)
+            if bool(ok):
+                return R, t, bind
+        return None
 
     # -- misc public API --------------------------------------------------
 

@@ -341,6 +341,7 @@ class Tracker:
         self.ref_kf = 0
         self.ref_kf_tracked = 0
         self.pending_kf = None
+        self.reloc_fn = None     # System installs the relocalizer
         self.last_kf_frame = -999
         self.frames_lost = 0
         self.new_kf: Optional[int] = None   # set when a KF was inserted
@@ -430,7 +431,7 @@ class Tracker:
         n_track, n = (int(c) for c in counts)   # one host sync per frame
 
         if n_track < self.min_inliers_track or n < self.min_inliers_map:
-            self._on_lost()
+            self._on_lost(feat)
             return
 
         self.st = st
@@ -449,13 +450,25 @@ class Tracker:
         if self._need_new_kf(n):
             self._create_kf(feat, bind)
 
-    def _on_lost(self):
+    def _on_lost(self, feat: FrameFeatures | None = None):
         self.frames_lost += 1
         if self.state == OK:
             self.state = RECENTLY_LOST
         elif self.frames_lost > 20:
             self.state = LOST
-        # keep last pose; prediction continues from velocity
+        # relocalization attempt (reference: RECENTLY_LOST branch runs
+        # Relocalization each frame, src/Tracking.cc:2001-2035)
+        if feat is not None and self.reloc_fn is not None:
+            out = self.reloc_fn(self, feat)
+            if out is not None:
+                R, t, bind = out
+                self.state = OK
+                self.frames_lost = 0
+                self.R, self.t = R, t
+                self.R_last, self.t_last = R, t
+                self.vel = None
+                self.last_feat = feat
+                self.last_bind = bind
 
     def _need_new_kf(self, n_tracked: int) -> bool:
         """Reference: NeedNewKeyFrame c1a/c1b/c1c/c2 conditions

@@ -1,0 +1,156 @@
+"""Loop closing and relocalization end-to-end tests on synthetic worlds."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dani_slam_tpu.core import cameras, state as mstate
+from dani_slam_tpu.slam.system import Sensor, System
+from dani_slam_tpu.utils import eval as ev
+from dani_slam_tpu.utils import synthetic
+
+CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
+CAPS = mstate.MapCaps(K=64, L=8192, N=512, D=64)
+
+
+class TestRelocalization:
+    def test_recovers_after_blackout(self):
+        """Blank frames interrupt tracking; the system must relocalize when
+        the view returns (reference: RECENTLY_LOST -> Relocalization,
+        src/Tracking.cc:2001-2035)."""
+        world = synthetic.make_world(1500, desc_dim=64, seed=0)
+        R_gt, t_gt = synthetic.orbit_trajectory(40, radius=10.0,
+                                                angle_span=0.6)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512)
+        states = []
+        R0, t0 = np.asarray(R_gt[0]), np.asarray(t_gt[0])
+        errs = []
+        for i in range(40):
+            if 18 <= i < 24:   # blackout: no valid features
+                feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                                 n_max=512, seed=9000 + i,
+                                                 with_depth=True,
+                                                 time=i / 30.0)
+                feat = feat._replace(valid=jnp.zeros_like(feat.valid))
+            else:
+                feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                                 n_max=512, noise_px=0.3,
+                                                 seed=9000 + i,
+                                                 with_depth=True,
+                                                 time=i / 30.0)
+            s, R, t = sys.track_features(feat)
+            states.append(s)
+            if i >= 24 and s == "OK":
+                C_est = -np.asarray(R).T @ np.asarray(t)
+                C_gt = R0 @ (-np.asarray(R_gt[i]).T @ np.asarray(t_gt[i])) + t0
+                errs.append(np.linalg.norm(C_est - C_gt))
+        # lost during blackout...
+        assert "RECENTLY_LOST" in states[18:24] or "LOST" in states[18:24]
+        # ...but recovered afterwards with a correct pose
+        assert states[-1] == "OK"
+        assert errs and min(errs) < 0.1
+
+
+class TestLoopClosing:
+    """Deterministic drifted-map test of verification + correction
+    (an emergent-detection e2e is flaky by construction: with one consistent
+    map, returning to a known area usually rebinds old landmarks directly
+    and no explicit loop is needed)."""
+
+    def _drifted_loop_state(self, K=12, n_lm_per_kf=80, drift=0.35):
+        from dani_slam_tpu.core import lie
+        world = synthetic.make_world(2000, desc_dim=64, seed=2)
+        R_gt, t_gt = synthetic.orbit_trajectory(K, radius=10.0,
+                                                angle_span=2 * np.pi)
+        st = mstate.empty_map(CAPS)
+        rng = np.random.RandomState(0)
+        kf_ids = []
+        world2lm = {}        # world point id -> landmark slot (chain memory)
+        for k in range(K):
+            # drift ramps up along the trajectory (none at k=0)
+            a = drift * k / (K - 1)
+            dxi = jnp.asarray([a, 0.5 * a, 0.0, 0.0, 0.05 * a, 0.0],
+                              jnp.float32)
+            dR, dt = lie.se3_exp(dxi)
+            R_est = dR @ R_gt[k]
+            t_est = dR @ t_gt[k] + dt
+
+            feat, tid = synthetic.render_frame(
+                world, CAM, R_gt[k], t_gt[k], n_max=CAPS.N, noise_px=0.2,
+                seed=100 + k, with_depth=True, time=k / 5.0)
+            # landmarks: create from depth at the ESTIMATED pose (consistent
+            # with the drifted trajectory, like real accumulated drift); but
+            # REBIND world points already seen by the PREVIOUS keyframe so a
+            # covisibility chain (odometry edges) exists — except across the
+            # loop gap (last->first), which only the loop edge closes.
+            from dani_slam_tpu.core import cameras as camod
+            rays = camod.unproject(CAM, feat.xy)
+            Xc = rays * feat.depth[:, None]
+            Xw = lie.se3_apply(*lie.se3_inv(R_est, t_est), Xc)
+            good = np.asarray(feat.valid & jnp.isfinite(feat.depth))
+            tid_np = np.asarray(tid)
+            bind = np.full(CAPS.N, -1, np.int32)
+            create = good.copy()
+            for row in range(CAPS.N):
+                wid = tid_np[row]
+                if good[row] and wid in world2lm and k < K:
+                    # rebind (keeps landmark position from first sighting)
+                    bind[row] = world2lm[wid]
+                    create[row] = False
+            st, slots = mstate.insert_landmarks(
+                st, Xw, feat.desc, Xw, jnp.zeros(CAPS.N) + 0.5,
+                jnp.zeros(CAPS.N) + 50.0,
+                jnp.full((CAPS.N,), k, jnp.int32),
+                jnp.full((CAPS.N,), k, jnp.int32), jnp.asarray(create))
+            slots_np = np.asarray(slots)
+            for row in range(CAPS.N):
+                if create[row] and slots_np[row] >= 0:
+                    bind[row] = slots_np[row]
+                    world2lm[tid_np[row]] = int(slots_np[row])
+            st, kf = mstate.insert_keyframe(
+                st, R_est, t_est, k / 5.0, jnp.asarray(k), feat.xy,
+                feat.valid, feat.desc, feat.depth,
+                jnp.zeros((CAPS.N,), jnp.int8), jnp.asarray(bind))
+            kf_ids.append(int(kf))
+            # forget landmarks not seen by this KF: next KF can only rebind
+            # what the previous frame saw (keeps the chain local, so the
+            # loop gap stays unconnected)
+            seen_now = set(tid_np[good].tolist())
+            world2lm = {w: l for w, l in world2lm.items() if w in seen_now}
+        return st, kf_ids, (R_gt, t_gt), world
+
+    def test_verify_and_correct(self):
+        from dani_slam_tpu.slam import loopclosing as lc
+        st, kf_ids, (R_gt, t_gt), world = self._drifted_loop_state()
+        cur = jnp.asarray(kf_ids[-1])
+        cand = jnp.asarray(kf_ids[0])
+        T12, n, ok = lc.verify_loop_candidate(
+            st, CAM, cur, cand, jax.random.PRNGKey(0), fix_scale=True,
+            min_inliers=20)
+        assert bool(ok), f"verification failed, inliers={int(n)}"
+
+        def pose_err(state):
+            errs = []
+            for i, k in enumerate(kf_ids):
+                C_est = -np.asarray(state.kf_R[k]).T @ np.asarray(
+                    state.kf_t[k])
+                C_gt = -np.asarray(R_gt[i]).T @ np.asarray(t_gt[i])
+                errs.append(np.linalg.norm(C_est - C_gt))
+            return np.mean(errs)
+
+        def last_kf_err(state):
+            k = kf_ids[-1]
+            C_est = -np.asarray(state.kf_R[k]).T @ np.asarray(state.kf_t[k])
+            C_gt = -np.asarray(R_gt[-1]).T @ np.asarray(t_gt[-1])
+            return np.linalg.norm(C_est - C_gt)
+
+        before = pose_err(st)
+        last_before = last_kf_err(st)
+        st2 = lc.correct_loop(st, CAM, cur, cand, T12, fix_scale=True)
+        after = pose_err(st2)
+        last_after = last_kf_err(st2)
+        # pose-graph semantics: the loop end snaps shut (large improvement);
+        # mid-chain drift redistributes (moderate improvement) — full
+        # elimination is GBA's job, not the essential graph's
+        assert last_after < last_before * 0.15, (
+            f"loop end not closed: {last_before=:.3f} {last_after=:.3f}")
+        assert after < before * 0.65, f"{before=:.3f} {after=:.3f}"
