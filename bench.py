@@ -37,16 +37,19 @@ def main():
 
     # warmup pass: run the FULL sequence once so every program variant
     # (init, track has_vel on/off, keyframe step with/without BA) compiles
-    sys = System(cam, Sensor.RGBD, caps=caps, n_features=512)
+    sys = System(cam, Sensor.RGBD, caps=caps, n_features=512,
+                 pipelined=True)
     for i in range(n_frames):
         sys.track_features(feats[i])
     jax.block_until_ready(sys.tracker.st.kf_R)
 
     # timed pass on a fresh system (all programs cached)
-    sys = System(cam, Sensor.RGBD, caps=caps, n_features=512)
+    sys = System(cam, Sensor.RGBD, caps=caps, n_features=512,
+                 pipelined=True)
     t0 = time.perf_counter()
     for i in range(n_frames):
         sys.track_features(feats[i])
+    sys.shutdown()
     jax.block_until_ready(sys.tracker.st.kf_R)
     dt = time.perf_counter() - t0
     fps = n_frames / dt

@@ -42,7 +42,8 @@ class System:
                  n_features: int = 1024, seed: int = 0,
                  enable_mapping: bool = True, max_depth: float = 40.0,
                  local_ba_every: int = 1, enable_loop_closing: bool = True,
-                 enable_relocalization: bool = True):
+                 enable_relocalization: bool = True,
+                 pipelined: bool = False):
         self.cam = cam
         self.sensor = sensor
         self.caps = caps or mstate.MapCaps()
@@ -50,7 +51,7 @@ class System:
                 Sensor.RGBD: "rgbd", Sensor.IMU_RGBD: "rgbd",
                 Sensor.STEREO: "stereo", Sensor.IMU_STEREO: "stereo"}[sensor]
         self.tracker = tracking.Tracker(cam, self.caps, sensor=mode,
-                                        seed=seed)
+                                        seed=seed, pipelined=pipelined)
         self.sp_params = sp_params
         self.n_features = n_features
         self.enable_mapping = enable_mapping
@@ -98,14 +99,14 @@ class System:
         one small host pull. Stale bindings to culled landmarks are benign —
         every tracking step masks them against lm_mask."""
         tr = self.tracker
-        feat, bind = tr.pending_kf
+        feat, bind, R_kf, t_kf = tr.pending_kf
         tr.pending_kf = None
         self._kf_count += 1
         do_ba = (self._kf_count % self.local_ba_every == 0
                  and self._kf_count > 1)
         st, k, n_tracked = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
-            bind, tr.R, tr.t, feat.time, jnp.asarray(tr.frame_id - 1),
+            bind, R_kf, t_kf, feat.time, jnp.asarray(tr.frame_id - 1),
             use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
             max_depth=self.max_depth)
         tr.st = st
@@ -152,7 +153,9 @@ class System:
         return int(mstate.num_landmarks(self.tracker.st))
 
     def shutdown(self):
-        pass
+        self.tracker.flush()
+        if (self.tracker.pending_kf is not None and self.enable_mapping):
+            self._keyframe_step()
 
     def save_trajectory_tum(self, path: str):
         """TUM format: time tx ty tz qx qy qz qw of T_wc (reference:

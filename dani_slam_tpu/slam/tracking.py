@@ -313,7 +313,7 @@ class Tracker:
                  sensor: str = "mono", seed: int = 0,
                  min_inliers_track: int = 10, min_inliers_map: int = 20,
                  kf_tracked_ratio: float = 0.8, max_frames_between_kf: int = 15,
-                 min_frames_between_kf: int = 0):
+                 min_frames_between_kf: int = 0, pipelined: bool = False):
         self.cam = cam
         self.caps = caps or mstate.MapCaps()
         self.sensor = sensor
@@ -324,6 +324,7 @@ class Tracker:
         self.kf_tracked_ratio = kf_tracked_ratio
         self.max_frames_between_kf = max_frames_between_kf
         self.min_frames_between_kf = min_frames_between_kf
+        self.pipelined = pipelined
         self.reset()
 
     def reset(self):
@@ -345,7 +346,13 @@ class Tracker:
         self.last_kf_frame = -999
         self.frames_lost = 0
         self.new_kf: Optional[int] = None   # set when a KF was inserted
-        self.trajectory = []     # (time, R_cw, t_cw) per tracked frame
+        self._traj_dev = []      # device-side (time, R, t) refs
+        self._traj_host = []     # materialized numpy trajectory
+        self._pending = None     # deferred decision (pipelined mode)
+
+    def flush(self):
+        """Resolve any deferred decision (call before reading results)."""
+        self._resolve_pending()
 
     # -- public API -------------------------------------------------------
 
@@ -354,6 +361,7 @@ class Tracker:
         (identity) until initialized. Sets self.new_kf when a keyframe was
         created (System then runs the mapping step)."""
         self.new_kf = None
+        self._resolve_pending()
         if self.state == NOT_INITIALIZED:
             self._initialize(feat)
         else:
@@ -361,9 +369,22 @@ class Tracker:
 
         self.frame_id += 1
         if self.state == OK:
-            self.trajectory.append((float(feat.time), np.asarray(self.R),
-                                    np.asarray(self.t)))
+            # keep DEVICE references — each np.asarray here would be a
+            # device->host round-trip per frame; conversion happens lazily in
+            # the `trajectory` property (one bulk transfer at save/eval time)
+            self._traj_dev.append((feat.time, self.R, self.t))
         return self.state, self.R, self.t
+
+    @property
+    def trajectory(self):
+        """Tracked trajectory as [(time, R_cw, t_cw)] numpy triples."""
+        if self._traj_dev:
+            fetched = jax.device_get(self._traj_dev)
+            self._traj_host.extend(
+                (float(tm), np.asarray(R), np.asarray(t))
+                for (tm, R, t) in fetched)
+            self._traj_dev = []
+        return self._traj_host
 
     # -- init -------------------------------------------------------------
 
@@ -428,12 +449,33 @@ class Tracker:
             self.st, self.cam, feat, self.last_bind, self.R, self.t, Rv, tv,
             jnp.asarray(self.ref_kf), min_inliers=self.min_inliers_track,
             use_depth=self.use_depth, has_vel=has_vel)
-        n_track, n = (int(c) for c in counts)   # one host sync per frame
 
-        if n_track < self.min_inliers_track or n < self.min_inliers_map:
-            self._on_lost(feat)
-            return
+        if self.pipelined:
+            # Deferred decisions: update state optimistically from device
+            # references, kick an async copy of the inlier counts, and
+            # resolve the lost/keyframe decision at the START of the next
+            # frame — by then the transfer has completed, so the host never
+            # blocks on the device inside a frame. A rollback snapshot
+            # protects against an optimistic update of a lost frame.
+            snapshot = (self.R, self.t, self.R_last, self.t_last, self.vel,
+                        self.st, self.last_bind, self.last_feat)
+            try:
+                counts.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._apply_track(feat, R_new, t_new, bind, st)
+            self._pending = (counts, feat, bind, snapshot)
+        else:
+            n_track, n = (int(c) for c in counts)  # one sync per frame
+            if (n_track < self.min_inliers_track or
+                    n < self.min_inliers_map):
+                self._on_lost(feat)
+                return
+            self._apply_track(feat, R_new, t_new, bind, st)
+            if self._need_new_kf(n):
+                self._create_kf(feat, bind)
 
+    def _apply_track(self, feat, R_new, t_new, bind, st):
         self.st = st
         self.state = OK
         self.frames_lost = 0
@@ -447,7 +489,21 @@ class Tracker:
         self.last_feat = feat
         self.last_bind = bind
 
-        if self._need_new_kf(n):
+    def _resolve_pending(self):
+        """Resolve the previous frame's deferred lost/keyframe decision."""
+        if self._pending is None:
+            return
+        counts, feat, bind, snapshot = self._pending
+        self._pending = None
+        n_track, n = (int(c) for c in counts)   # transfer already landed
+        if n_track < self.min_inliers_track or n < self.min_inliers_map:
+            (self.R, self.t, self.R_last, self.t_last, self.vel,
+             self.st, self.last_bind, self.last_feat) = snapshot
+            # drop the optimistically recorded trajectory entry
+            if self._traj_dev:
+                self._traj_dev.pop()
+            self._on_lost(feat)
+        elif self._need_new_kf(n):
             self._create_kf(feat, bind)
 
     def _on_lost(self, feat: FrameFeatures | None = None):
@@ -484,7 +540,9 @@ class Tracker:
 
     def _create_kf(self, feat: FrameFeatures, bind: jax.Array):
         """Record the pending keyframe; the System runs the fused
-        insert+mapping program (slam/mapping.py keyframe_step)."""
-        self.pending_kf = (feat, bind)
+        insert+mapping program (slam/mapping.py keyframe_step). The pose is
+        snapshotted NOW — in pipelined mode the tracker state may advance a
+        frame before the System executes the step."""
+        self.pending_kf = (feat, bind, self.R, self.t)
         self.last_kf_frame = self.frame_id
         self.new_kf = True

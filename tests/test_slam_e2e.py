@@ -101,3 +101,30 @@ class TestRobustness:
             s, _, _ = sys.track_features(feat)
             ok += s == "OK"
         assert ok >= 28
+
+
+class TestPipelined:
+    def test_pipelined_matches_sync_results(self):
+        """Deferred-decision mode must produce an equivalent trajectory."""
+        import dani_slam_tpu.slam.system as system_mod
+        outs = {}
+        for pipelined in (False, True):
+            sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512,
+                         pipelined=pipelined)
+            world = synthetic.make_world(1500, desc_dim=64, seed=0)
+            R_gt, t_gt = synthetic.orbit_trajectory(25, radius=10.0,
+                                                    angle_span=0.5)
+            for i in range(25):
+                feat, _ = synthetic.render_frame(
+                    world, CAM, R_gt[i], t_gt[i], n_max=512, noise_px=0.3,
+                    seed=i, with_depth=True, time=i / 30.0)
+                sys.track_features(feat)
+            sys.shutdown()
+            traj = sys.tracker.trajectory
+            outs[pipelined] = np.stack([p[2] for p in traj])
+        assert len(outs[True]) >= 23
+        # trajectories should be near-identical (KF timing may differ by one
+        # frame, shifting poses slightly)
+        n = min(len(outs[True]), len(outs[False]))
+        diff = np.abs(outs[True][:n] - outs[False][:n]).max()
+        assert diff < 0.05, f"pipelined trajectory diverged: {diff}"
