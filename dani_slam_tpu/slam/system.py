@@ -43,7 +43,7 @@ class System:
                  enable_mapping: bool = True, max_depth: float = 40.0,
                  local_ba_every: int = 1, enable_loop_closing: bool = True,
                  enable_relocalization: bool = True,
-                 pipelined: bool = False):
+                 pipelined: bool = False, detector=None):
         self.cam = cam
         self.sensor = sensor
         self.caps = caps or mstate.MapCaps()
@@ -67,6 +67,9 @@ class System:
         if enable_relocalization:
             self.tracker.reloc_fn = self._relocalize
         self._reloc_key = jax.random.PRNGKey(seed + 1)
+        # dynamic-object masking (reference: YOLO runs on the RGB-D path
+        # only, src/Tracking.cc:1534-1546)
+        self.detector = detector
 
     # -- frame entry points ----------------------------------------------
 
@@ -79,13 +82,22 @@ class System:
 
     def track_rgbd(self, img, depth, timestamp: float,
                    depth_factor: float = 5000.0):
+        boxes = box_mask = None
+        dyn_ratio = None
+        if self.detector is not None:
+            boxes, box_mask, dyn_ratio = self.detector.dynamic_mask_inputs(
+                img)
         feat = build_frame_rgbd(self._sp(), img, depth, self.cam, timestamp,
                                 depth_factor=depth_factor,
-                                n_max=self.n_features)
-        return self.track_features(feat)
+                                n_max=self.n_features, boxes=boxes,
+                                box_mask=box_mask)
+        return self.track_features(feat, dyn_ratio=dyn_ratio)
 
-    def track_features(self, feat: FrameFeatures):
-        """Pre-extracted features in (synthetic tests / custom frontends)."""
+    def track_features(self, feat: FrameFeatures, dyn_ratio=None):
+        """Pre-extracted features in (synthetic tests / custom frontends).
+        dyn_ratio: device scalar in [0,1] — fraction of the image covered by
+        dynamic objects (keyframe veto above 0.8, src/Tracking.cc:3273)."""
+        self.tracker.dynamic_ratio = dyn_ratio
         state, R, t = self.tracker.track(feat)
         if (self.tracker.pending_kf is not None and self.enable_mapping):
             self._keyframe_step()

@@ -349,6 +349,7 @@ class Tracker:
         self._traj_dev = []      # device-side (time, R, t) refs
         self._traj_host = []     # materialized numpy trajectory
         self._pending = None     # deferred decision (pipelined mode)
+        self.dynamic_ratio = None  # device scalar set by System (YOLO)
 
     def flush(self):
         """Resolve any deferred decision (call before reading results)."""
@@ -536,7 +537,15 @@ class Tracker:
             return False
         c1 = since >= self.max_frames_between_kf
         c2 = n_tracked < self.kf_tracked_ratio * max(self.ref_kf_tracked, 1)
-        return c1 or c2
+        if not (c1 or c2):
+            return False
+        # dynamic-scene veto: skip KF creation when >80% of the image is
+        # dynamic objects (reference: src/Tracking.cc:3273-3280). The device
+        # scalar is only pulled when a KF would actually be created.
+        if self.dynamic_ratio is not None and \
+                float(self.dynamic_ratio) > 0.8:
+            return False
+        return True
 
     def _create_kf(self, feat: FrameFeatures, bind: jax.Array):
         """Record the pending keyframe; the System runs the fused

@@ -99,3 +99,41 @@ class TestDetector:
         boxes, ok, ratio = det.dynamic_mask_inputs(img)
         assert 0.0 <= float(ratio) <= 1.0
         assert boxes.shape[0] == 32
+
+
+class TestDynamicIntegration:
+    def test_kf_veto_on_dynamic_scene(self):
+        """>80% dynamic coverage must suppress keyframe creation
+        (reference: src/Tracking.cc:3273-3280)."""
+        from dani_slam_tpu.core import cameras, state as mstate
+        from dani_slam_tpu.slam.system import Sensor, System
+        from dani_slam_tpu.utils import synthetic
+        CAM = cameras.Camera.pinhole(500., 500., 320., 240., 640, 480)
+        CAPS = mstate.MapCaps(K=64, L=8192, N=256, D=64)
+        world = synthetic.make_world(1200, desc_dim=64, seed=5)
+        R_gt, t_gt = synthetic.orbit_trajectory(20, radius=10.,
+                                                angle_span=0.5)
+        counts = {}
+        for ratio in (0.0, 0.95):
+            sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=256,
+                         enable_loop_closing=False)
+            for i in range(20):
+                feat, _ = synthetic.render_frame(
+                    world, CAM, R_gt[i], t_gt[i], n_max=256, noise_px=0.3,
+                    seed=i, with_depth=True, time=i / 30.0)
+                sys.track_features(feat, dyn_ratio=jnp.asarray(ratio))
+            counts[ratio] = sys.n_keyframes()
+        assert counts[0.95] == 1          # only the init keyframe
+        assert counts[0.0] > counts[0.95]
+
+    def test_keypoint_suppression_in_frame_build(self):
+        """Keypoints inside dynamic boxes never enter the pipeline
+        (reference: src/SPextractor.cpp:314-352)."""
+        from dani_slam_tpu.ops import frontend
+        h = jnp.zeros((128, 128)).at[30, 30].set(0.9).at[90, 90].set(0.8)
+        dm = jnp.ones((16, 16, 8)) / (8 ** 0.5)
+        boxes = jnp.asarray([[20.0, 20.0, 40.0, 40.0]])
+        out = frontend.extract(h, dm, n_max=16, threshold=0.1, boxes=boxes,
+                               box_mask=jnp.asarray([True]))
+        xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
+        assert len(xy) == 1 and tuple(xy[0]) == (90.0, 90.0)
