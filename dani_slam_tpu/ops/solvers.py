@@ -53,16 +53,20 @@ def _residuals_jac(R, t, cam, pts_w, obs_xy):
 
 
 def _depth_residual(R, t, pts_w, obs_depth):
-    """Optional depth residual (RGB-D): r_z = z - d_obs, J [N,1,6].
+    """Optional depth residual (RGB-D/stereo): r_z = z - d_obs, J [N,1,6].
     The reference folds RGB-D into a virtual right-coordinate stereo residual
     (u_r = u - fx*b/z, Frame::ComputeStereoFromRGBD src/Frame.cc:918); a
     direct depth residual carries the same information with one fewer
-    projection and conditions better on TPU f32."""
+    projection and conditions better on TPU f32. Keypoints with no depth
+    reading (inf — common in stereo where matching is partial) contribute a
+    zero residual, NOT an infinite one."""
     pc = jnp.einsum('ij,nj->ni', R, pts_w) + t
-    r = (pc[:, 2] - obs_depth)[:, None]
+    have = jnp.isfinite(obs_depth)
+    r = jnp.where(have, pc[:, 2] - jnp.where(have, obs_depth, 0.0),
+                  0.0)[:, None]
     Jx = jnp.concatenate([jnp.broadcast_to(jnp.eye(3), pc.shape[:1] + (3, 3)),
                           -lie.hat(pc)], axis=-1)
-    J = Jx[:, 2:3, :]
+    J = jnp.where(have[:, None, None], Jx[:, 2:3, :], 0.0)
     return r, J
 
 

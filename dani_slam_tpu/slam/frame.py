@@ -49,6 +49,53 @@ def build_frame_mono(params, img, cam: _cam.Camera, time: float,
                          time=jnp.asarray(time, jnp.float32))
 
 
+@jax.jit
+def stereo_match_depth(xy_l, desc_l, valid_l, xy_r, desc_r, valid_r,
+                       fx, baseline, y_band: float = 2.0,
+                       th_desc: float = 0.7):
+    """Left<->right descriptor matching on a rectified pair -> per-left-
+    keypoint depth (reference: Frame::ComputeStereoMatches src/Frame.cc:
+    813-915 — LightGlue left/right matching + disparity -> depth + outlier
+    trim; here mutual-NN with an epipolar row band, one masked matmul).
+    Returns depth [N] (inf where unmatched)."""
+    from dani_slam_tpu.ops import matching as m_ops
+
+    d = m_ops.desc_distance_matrix(desc_l, desc_r)
+    band = jnp.abs(xy_l[:, None, 1] - xy_r[None, :, 1]) <= y_band
+    disp_ok = (xy_l[:, None, 0] - xy_r[None, :, 0]) > 0.1
+    mask = band & disp_ok & valid_l[:, None] & valid_r[None, :]
+    m = m_ops.masked_match(d, mask, th=th_desc, mutual=True)
+    disp = xy_l[:, 0] - xy_r[m.idx, 0]
+    depth = fx * baseline / jnp.maximum(disp, 1e-6)
+    # median-based outlier trim (reference trims matches with descriptor
+    # distance beyond ~1.5x median, Frame.cc:856-915)
+    med = jnp.median(jnp.where(m.ok, m.dist, jnp.nan))
+    keep = m.ok & (m.dist <= 1.5 * jnp.nan_to_num(med, nan=1e9) + 1e-6)
+    return jnp.where(keep, depth, jnp.inf)
+
+
+def build_frame_stereo(params, img_l, img_r, cam: _cam.Camera,
+                       baseline: float, time: float, n_max: int = 1024,
+                       threshold: float = 0.007) -> FrameFeatures:
+    """Stereo frame: both images through SuperPoint as ONE batch of 2 (the
+    reference forks two extraction threads, src/Frame.cc:125-128 — on TPU
+    the batch dim does the same with zero orchestration), then rectified
+    stereo matching fills metric depth."""
+    from dani_slam_tpu.models import superpoint
+
+    g = jnp.stack([image_ops.to_gray01(img_l), image_ops.to_gray01(img_r)])
+    heat, dm = superpoint.SuperPoint().apply(params, g[..., None])
+    out_l = frontend.extract(heat[0], dm[0], n_max=n_max, threshold=threshold)
+    out_r = frontend.extract(heat[1], dm[1], n_max=n_max, threshold=threshold)
+    depth = stereo_match_depth(out_l["xy"], out_l["desc"], out_l["valid"],
+                               out_r["xy"], out_r["desc"], out_r["valid"],
+                               cam.params[0], baseline)
+    xy = _cam.undistort_keypoints(cam, out_l["xy"])
+    return FrameFeatures(xy=xy, desc=out_l["desc"], depth=depth,
+                         valid=out_l["valid"],
+                         time=jnp.asarray(time, jnp.float32))
+
+
 def build_frame_rgbd(params, img, depth_img, cam: _cam.Camera, time: float,
                      depth_factor: float = 5000.0, n_max: int = 1024,
                      threshold: float = 0.007, boxes=None,
