@@ -1,0 +1,145 @@
+"""Settings: typed configuration mirroring the reference's two-generation
+YAML config system (reference: src/Settings.cc — new-format "File.version:
+1.0" with sections Camera1/Camera2/ImageInfo/IMU/RGBD/ORB/Viewer/LoadAndSave;
+legacy flat keys parsed by Tracking::ParseCamParamFile etc.,
+src/Tracking.cc:620-1430). Model paths are explicit here — the reference
+hard-codes them (src/SPextractor.cpp:86, src/LightGlue.cpp:9,
+src/YoloDetect.cpp:9), flagged in SURVEY.md §5 as a rebuild fix.
+
+The parser reads OpenCV-FileStorage-style YAML ("%YAML:1.0" directive,
+"key.subkey: value" flat entries) without external dependencies.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+from dani_slam_tpu.core import cameras as _cam
+
+
+def parse_opencv_yaml(path_or_text: str) -> dict:
+    """Parse flat OpenCV FileStorage YAML into {dotted.key: value}."""
+    if "\n" in path_or_text or ":" in path_or_text.split("\n")[0][:1]:
+        text = path_or_text
+    else:
+        try:
+            with open(path_or_text) as f:
+                text = f.read()
+        except (OSError, ValueError):
+            text = path_or_text
+    out = {}
+    for line in text.splitlines():
+        line = line.split("#")[0].rstrip()
+        if not line or line.startswith("%") or line.startswith("---"):
+            continue
+        m = re.match(r"^\s*([A-Za-z0-9_.]+)\s*:\s*(.+)$", line)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip().strip('"')
+        try:
+            out[key] = int(val)
+        except ValueError:
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
+
+
+@dataclasses.dataclass
+class Settings:
+    """Typed settings (reference: Settings.h:127-155 readParameter with
+    required/optional semantics)."""
+    # camera
+    camera_type: str = "PinHole"
+    fx: float = 500.0
+    fy: float = 500.0
+    cx: float = 320.0
+    cy: float = 240.0
+    width: int = 640
+    height: int = 480
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+    k_equi: tuple = (0.0, 0.0, 0.0, 0.0)     # KannalaBrandt8
+    fps: float = 30.0
+    baseline: float = 0.0                    # stereo
+    depth_map_factor: float = 5000.0         # RGB-D (TUM3.yaml:35)
+    th_depth: float = 40.0                   # far-point threshold
+    # features (reference ORB section drives SPextractor thresholds,
+    # Examples/RGB-D/TUM3.yaml:41-54)
+    n_features: int = 1024
+    ini_th: float = 0.015
+    min_th: float = 0.007
+    n_levels: int = 1
+    scale_factor: float = 1.2
+    # IMU (reference IMU section: noise/walk + Tbc + frequency)
+    imu_noise_gyro: float = 1.7e-4
+    imu_noise_acc: float = 2e-3
+    imu_walk_gyro: float = 1.9e-5
+    imu_walk_acc: float = 3e-3
+    imu_frequency: float = 200.0
+    # system
+    load_atlas: Optional[str] = None
+    save_atlas: Optional[str] = None
+    # model weights (explicit, not hard-coded)
+    superpoint_weights: Optional[str] = None
+    lightglue_weights: Optional[str] = None
+    yolo_weights: Optional[str] = None
+
+    @staticmethod
+    def from_yaml(path_or_text: str) -> "Settings":
+        d = parse_opencv_yaml(path_or_text)
+        s = Settings()
+
+        def g(*keys, default=None):
+            for k in keys:
+                if k in d:
+                    return d[k]
+            return default
+
+        # new format (Camera1.*) falls back to legacy (Camera.*)
+        s.camera_type = str(g("Camera.type", "Camera1.type",
+                              default=s.camera_type))
+        s.fx = float(g("Camera1.fx", "Camera.fx", default=s.fx))
+        s.fy = float(g("Camera1.fy", "Camera.fy", default=s.fy))
+        s.cx = float(g("Camera1.cx", "Camera.cx", default=s.cx))
+        s.cy = float(g("Camera1.cy", "Camera.cy", default=s.cy))
+        s.width = int(g("Camera.width", "Camera1.width", default=s.width))
+        s.height = int(g("Camera.height", "Camera1.height", default=s.height))
+        s.dist = tuple(float(g(f"Camera1.{k}", f"Camera.{k}", default=0.0))
+                       for k in ("k1", "k2", "p1", "p2", "k3"))
+        s.k_equi = tuple(float(g(f"Camera1.k{i}", default=0.0))
+                         for i in range(4))
+        s.fps = float(g("Camera.fps", default=s.fps))
+        s.baseline = float(g("Camera.bf", "Stereo.b", default=0.0))
+        if g("Camera.bf") is not None:
+            s.baseline = float(g("Camera.bf")) / s.fx
+        s.depth_map_factor = float(g("RGBD.DepthMapFactor",
+                                     "DepthMapFactor",
+                                     default=s.depth_map_factor))
+        s.th_depth = float(g("Stereo.ThDepth", "ThDepth", default=s.th_depth))
+        s.n_features = int(g("ORBextractor.nFeatures",
+                             default=s.n_features))
+        s.ini_th = float(g("ORBextractor.iniThFAST", default=s.ini_th))
+        s.min_th = float(g("ORBextractor.minThFAST", default=s.min_th))
+        s.n_levels = int(g("ORBextractor.nLevels", default=s.n_levels))
+        s.scale_factor = float(g("ORBextractor.scaleFactor",
+                                 default=s.scale_factor))
+        s.imu_noise_gyro = float(g("IMU.NoiseGyro", default=s.imu_noise_gyro))
+        s.imu_noise_acc = float(g("IMU.NoiseAcc", default=s.imu_noise_acc))
+        s.imu_walk_gyro = float(g("IMU.GyroWalk", default=s.imu_walk_gyro))
+        s.imu_walk_acc = float(g("IMU.AccWalk", default=s.imu_walk_acc))
+        s.imu_frequency = float(g("IMU.Frequency", default=s.imu_frequency))
+        s.load_atlas = g("System.LoadAtlasFromFile")
+        s.save_atlas = g("System.SaveAtlasToFile")
+        s.superpoint_weights = g("Models.SuperPoint")
+        s.lightglue_weights = g("Models.LightGlue")
+        s.yolo_weights = g("Models.Yolo")
+        return s
+
+    def camera(self) -> _cam.Camera:
+        if self.camera_type.lower() in ("kannalabrandt8", "fisheye"):
+            return _cam.Camera.kb8(self.fx, self.fy, self.cx, self.cy,
+                                   *self.k_equi, self.width, self.height)
+        return _cam.Camera.pinhole(self.fx, self.fy, self.cx, self.cy,
+                                   self.width, self.height, dist=self.dist)

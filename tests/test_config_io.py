@@ -1,0 +1,128 @@
+"""Config parsing, IO, checkpointing and timing tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dani_slam_tpu.core import config as cfg
+from dani_slam_tpu.core import state as mstate
+from dani_slam_tpu.utils import checkpoint, io as io_utils, timing
+
+TUM3_YAML = """\
+%YAML:1.0
+# TUM3-style settings (structure of Examples/RGB-D/TUM3.yaml)
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: 535.4
+Camera1.fy: 539.2
+Camera1.cx: 320.1
+Camera1.cy: 247.6
+Camera1.k1: 0.0
+Camera1.k2: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30
+RGBD.DepthMapFactor: 5000.0
+ORBextractor.nFeatures: 2000
+ORBextractor.iniThFAST: 0.015
+ORBextractor.minThFAST: 0.007
+ORBextractor.nLevels: 1
+ORBextractor.scaleFactor: 1.2
+"""
+
+
+class TestConfig:
+    def test_parse_tum_style(self):
+        s = cfg.Settings.from_yaml(TUM3_YAML)
+        assert s.fx == 535.4 and s.cy == 247.6
+        assert s.n_features == 2000
+        assert s.ini_th == 0.015 and s.min_th == 0.007
+        assert s.depth_map_factor == 5000.0
+        cam = s.camera()
+        assert cam.width == 640
+
+    def test_stereo_bf_conversion(self):
+        s = cfg.Settings.from_yaml(
+            "Camera1.fx: 500.0\nCamera.bf: 50.0\n")
+        assert abs(s.baseline - 0.1) < 1e-9
+
+    def test_defaults(self):
+        s = cfg.Settings.from_yaml("")
+        assert s.n_features == 1024
+
+
+class TestTrajectoryIO:
+    def _traj(self, n=5):
+        from dani_slam_tpu.core import lie
+        rng = np.random.RandomState(0)
+        out = []
+        for i in range(n):
+            R, t = lie.se3_exp(jnp.asarray(rng.randn(6) * 0.2, jnp.float32))
+            out.append((i / 30.0, np.asarray(R), np.asarray(t)))
+        return out
+
+    def test_tum_roundtrip(self, tmp_path):
+        traj = self._traj()
+        p = str(tmp_path / "traj.txt")
+        io_utils.save_trajectory_tum(p, traj)
+        rows = np.loadtxt(p)
+        assert rows.shape == (5, 8)
+        # positions match camera centers
+        C0 = -traj[0][1].T @ traj[0][2]
+        np.testing.assert_allclose(rows[0, 1:4], C0, atol=1e-5)
+
+    def test_kitti_format(self, tmp_path):
+        p = str(tmp_path / "kitti.txt")
+        io_utils.save_trajectory_kitti(p, self._traj())
+        rows = np.loadtxt(p)
+        assert rows.shape == (5, 12)
+
+    def test_associate(self):
+        ta = np.asarray([0.0, 0.1, 0.2])
+        tb = np.asarray([0.001, 0.105, 0.5])
+        pairs = io_utils.associate_timestamps(ta, tb)
+        assert pairs == [(0, 0), (1, 1)]
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        caps = mstate.MapCaps(K=8, L=64, N=16, D=8)
+        st = mstate.empty_map(caps)
+        st, k = mstate.insert_keyframe(
+            st, jnp.eye(3), jnp.ones(3), 1.5, jnp.asarray(7),
+            jnp.zeros((16, 2)), jnp.ones(16, bool), jnp.zeros((16, 8)),
+            jnp.full((16,), jnp.inf), jnp.zeros((16,), jnp.int8),
+            jnp.full((16,), -1, jnp.int32))
+        cb = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(p, st, codebook=cb)
+        st2, extras = checkpoint.load_map(p, expect_codebook=cb)
+        assert st2.caps == caps
+        assert bool(st2.kf_mask[0])
+        np.testing.assert_allclose(np.asarray(st2.kf_t[0]), 1.0)
+        np.testing.assert_allclose(np.asarray(extras["codebook"]),
+                                   np.asarray(cb))
+
+    def test_checksum_mismatch_rejected(self, tmp_path):
+        caps = mstate.MapCaps(K=4, L=16, N=8, D=8)
+        st = mstate.empty_map(caps)
+        cb = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(p, st, codebook=cb)
+        with pytest.raises(ValueError, match="checksum"):
+            checkpoint.load_map(p, expect_codebook=cb + 1.0)
+
+
+class TestTiming:
+    def test_stage_timer(self, tmp_path):
+        t = timing.StageTimer()
+        with t.stage("track"):
+            pass
+        t.record("map", 0.01)
+        s = t.summary()
+        assert "track" in s and s["map"]["mean_ms"] == 10.0
+        t.save_csv(str(tmp_path / "stats.csv"))
+        t.save_means(str(tmp_path / "means.txt"))
+        assert os.path.exists(tmp_path / "stats.csv")
