@@ -61,6 +61,35 @@ def match_kf_landmarks(st: mstate.MapState, kf_a: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("fix_scale",))
+def verify_cross_map_candidate(st_a: mstate.MapState, st_b: mstate.MapState,
+                               cam, kf_a: jax.Array, kf_b: jax.Array, key,
+                               fix_scale: bool = False,
+                               min_inliers: int = 25):
+    """Geometric verification between keyframes of two DIFFERENT maps
+    (reference: the merge branch runs the same Sim3 machinery across maps,
+    src/LoopClosing.cc:133-190). Returns (T_ab sim3 from b-camera coords to
+    a-camera coords, n_inliers, ok)."""
+    obs_a = st_a.obs_lm[kf_a]
+    obs_b = st_b.obs_lm[kf_b]
+    has_a = (obs_a >= 0) & st_a.kf_kp_mask[kf_a]
+    has_b = (obs_b >= 0) & st_b.kf_kp_mask[kf_b]
+    la = jnp.where(has_a, obs_a, 0)
+    lb = jnp.where(has_b, obs_b, 0)
+    d = matching.desc_distance_matrix(st_a.lm_desc[la], st_b.lm_desc[lb])
+    m = matching.masked_match(d, has_a[:, None] & has_b[None, :], th=0.7,
+                              mutual=True)
+    pa = lie.se3_apply(st_a.kf_R[kf_a], st_a.kf_t[kf_a], st_a.lm_pos[la])
+    pb = lie.se3_apply(st_b.kf_R[kf_b], st_b.kf_t[kf_b],
+                       st_b.lm_pos[lb[m.idx]])
+    res = sim3_ops.sim3_ransac(key, cam, cam, pa, pb, m.ok,
+                               fix_scale=fix_scale, min_inliers=min_inliers)
+    R, t, s, inl, n = sim3_ops.optimize_sim3(
+        cam, cam, res.R, res.t, res.s, pa, st_a.kf_kp[kf_a], pb,
+        st_b.kf_kp[kf_b][m.idx], m.ok & res.inliers, fix_scale=fix_scale)
+    return (R, t, s), n, res.ok & (n >= min_inliers)
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
 def verify_loop_candidate(st: mstate.MapState, cam, kf_cur: jax.Array,
                           kf_cand: jax.Array, key, fix_scale: bool = False,
                           min_inliers: int = 20):

@@ -70,6 +70,12 @@ class System:
         # dynamic-object masking (reference: YOLO runs on the RGB-D path
         # only, src/Tracking.cc:1534-1546)
         self.detector = detector
+        # multi-map Atlas (reference: src/Atlas.cc; new map on unrecoverable
+        # loss, Tracking::CreateMapInAtlas src/Tracking.cc:2682)
+        from dani_slam_tpu.slam.atlas import Atlas
+        self.atlas = Atlas(self.caps)
+        self.lost_frames_before_new_map = 30
+        self.min_kfs_to_stash = 5
 
     # -- frame entry points ----------------------------------------------
 
@@ -101,7 +107,26 @@ class System:
         state, R, t = self.tracker.track(feat)
         if (self.tracker.pending_kf is not None and self.enable_mapping):
             self._keyframe_step()
+        if state == tracking.LOST and \
+                self.tracker.frames_lost > self.lost_frames_before_new_map:
+            self._new_map_in_atlas()
         return state, R, t
+
+    def _new_map_in_atlas(self):
+        """Unrecoverable loss: stash the current map (if substantial) and
+        start a fresh one (reference: CreateMapInAtlas src/Tracking.cc:2682;
+        active-map reset when <10 KFs, src/Tracking.cc:2287-2306)."""
+        tr = self.tracker
+        if self.n_keyframes() >= self.min_kfs_to_stash:
+            bow = self.loop_closer.bow if self.loop_closer else None
+            self.atlas.stash(tr.st, bow=bow)
+        frame_id = tr.frame_id
+        tr.reset()
+        tr.frame_id = frame_id
+        if self.loop_closer is not None:
+            self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
+            self.loop_closer.last_loop_kf = -10 ** 9
+        self._kf_count = 0
 
     # -- mapping (keyframe-rate) -----------------------------------------
 
@@ -127,6 +152,46 @@ class System:
         tr.ref_kf_tracked = int(n_host)
         if self.loop_closer is not None:
             tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf)
+        if self.atlas.n_maps() > 0:
+            self._try_map_merge()
+
+    def _try_map_merge(self):
+        """Weld the active map into a stored one when place recognition
+        finds the overlap (reference: LoopClosing merge branch
+        src/LoopClosing.cc:133-190 -> MergeLocal)."""
+        from dani_slam_tpu.slam import loopclosing as lc
+        tr = self.tracker
+        qbow = (self.loop_closer.bow[tr.ref_kf]
+                if self.loop_closer is not None else None)
+        self._reloc_key, sub = jax.random.split(self._reloc_key)
+        fix_scale = tr.sensor in ("rgbd", "stereo")
+
+        def verify(st_a, st_b, kf_a, kf_b, key):
+            return lc.verify_cross_map_candidate(
+                st_a, st_b, self.cam, kf_a, kf_b, key, fix_scale=fix_scale)
+
+        out = self.atlas.try_merge(tr.st, self.cam, tr.ref_kf, qbow, sub,
+                                   verify)
+        if out is None:
+            return
+        merged, new_ref, kf_map, lm_map = out
+        tr.st = merged
+        tr.ref_kf = new_ref
+        # remap frame bindings into merged landmark ids
+        if tr.last_bind is not None:
+            lb = tr.last_bind
+            tr.last_bind = jnp.where(
+                lb >= 0, jnp.take(lm_map, jnp.maximum(lb, 0)), -1)
+        # rebuild the place-recognition database rows for the moved KFs
+        if self.loop_closer is not None:
+            old_bow = self.loop_closer.bow
+            entry_bow = jnp.zeros_like(old_bow)
+            src_valid = kf_map >= 0
+            entry_bow = entry_bow.at[jnp.where(src_valid, kf_map, 0)].set(
+                jnp.where(src_valid[:, None], old_bow, 0.0))
+            # stored map rows were stashed with the map; restore is partial
+            # (new keyframes re-add themselves) — merge what we have
+            self.loop_closer.bow = entry_bow
 
     # -- relocalization (reference: Tracking::Relocalization
     #    src/Tracking.cc:3666 — BoW candidates -> PnP RANSAC -> pose opt) --
