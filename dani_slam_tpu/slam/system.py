@@ -76,6 +76,15 @@ class System:
         self.atlas = Atlas(self.caps)
         self.lost_frames_before_new_map = 30
         self.min_kfs_to_stash = 5
+        # inertial pipeline for IMU_* sensors (reference: IMU preintegration
+        # between frames + InitializeIMU staging, src/Tracking.cc:1643,
+        # src/LocalMapping.cc:1175)
+        self.use_imu = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
+                                  Sensor.IMU_RGBD)
+        if self.use_imu:
+            from dani_slam_tpu.slam.inertial import InertialState
+            self.tracker.inertial = InertialState()
+            self._kf_window_marks = []   # frame_windows index at each KF
 
     # -- frame entry points ----------------------------------------------
 
@@ -99,10 +108,15 @@ class System:
                                 box_mask=box_mask)
         return self.track_features(feat, dyn_ratio=dyn_ratio)
 
-    def track_features(self, feat: FrameFeatures, dyn_ratio=None):
+    def track_features(self, feat: FrameFeatures, dyn_ratio=None,
+                       imu_window=None):
         """Pre-extracted features in (synthetic tests / custom frontends).
         dyn_ratio: device scalar in [0,1] — fraction of the image covered by
-        dynamic objects (keyframe veto above 0.8, src/Tracking.cc:3273)."""
+        dynamic objects (keyframe veto above 0.8, src/Tracking.cc:3273).
+        imu_window: slam.inertial.ImuWindow of samples since the previous
+        frame (IMU_* sensors)."""
+        if self.use_imu and imu_window is not None:
+            self.tracker.inertial.integrate_frame(imu_window)
         self.tracker.dynamic_ratio = dyn_ratio
         state, R, t = self.tracker.track(feat)
         if (self.tracker.pending_kf is not None and self.enable_mapping):
@@ -154,6 +168,41 @@ class System:
             tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf)
         if self.atlas.n_maps() > 0:
             self._try_map_merge()
+        if self.use_imu:
+            self._maybe_initialize_imu()
+
+    def _maybe_initialize_imu(self):
+        """Run gravity/scale init once enough keyframes + time accumulated
+        (reference: IMU init trigger, src/LocalMapping.cc:183-189)."""
+        from dani_slam_tpu.slam import inertial as inert
+        tr = self.tracker
+        self._kf_window_marks.append(len(tr.inertial.frame_windows))
+        if tr.inertial.initialized or len(self._kf_window_marks) < 5:
+            return
+        marks = self._kf_window_marks
+        bounds = list(zip(marks[:-1], marks[1:]))
+        preints = tr.inertial.kf_chain_preintegrations(bounds)
+        kf_ids = sorted(
+            np.nonzero(np.asarray(tr.st.kf_mask))[0].tolist())[-len(marks):]
+        mono = tr.sensor == "mono"
+        st2, ok = inert.initialize_imu(tr.st, tr.inertial, kf_ids, preints,
+                                       mono_scale_free=mono)
+        if ok:
+            import dataclasses as _dc
+            tr.st = _dc.replace(st2, imu_initialized=jnp.ones((), bool))
+            # the tracker's current pose lives in the OLD world frame —
+            # apply the same gravity-rotation/scale the map received
+            # (reference: ApplyScaledRotation also rewrites mCurrentFrame &
+            # velocity, src/Map.cc + Tracking::UpdateFrameIMU)
+            Rg, s_scl = tr.inertial.last_alignment
+            for attr_R, attr_t in (("R", "t"), ("R_last", "t_last")):
+                Rk = getattr(tr, attr_R) @ Rg.T
+                tk = s_scl * getattr(tr, attr_t)
+                setattr(tr, attr_R, Rk)
+                setattr(tr, attr_t, tk)
+            if tr.vel is not None:
+                Rv, tv = tr.vel
+                tr.vel = (Rv, s_scl * tv)
 
     def _try_map_merge(self):
         """Weld the active map into a stored one when place recognition

@@ -350,6 +350,8 @@ class Tracker:
         self._traj_host = []     # materialized numpy trajectory
         self._pending = None     # deferred decision (pipelined mode)
         self.dynamic_ratio = None  # device scalar set by System (YOLO)
+        self.inertial = None       # InertialState for IMU_* sensors
+        self.last_time = None
 
     def flush(self):
         """Resolve any deferred decision (call before reading results)."""
@@ -444,10 +446,22 @@ class Tracker:
         return lie.se3_mul(Rv, tv, self.R, self.t)
 
     def _track_frame(self, feat: FrameFeatures):
+        R_cur, t_cur = self.R, self.t
         has_vel = self.vel is not None
+        # IMU prediction takes precedence over the constant-velocity model
+        # (reference: PredictStateIMU when mbImuInitialized,
+        # src/Tracking.cc:1962-1977)
+        if (self.inertial is not None and self.inertial.initialized and
+                self.inertial.last_preint is not None):
+            from dani_slam_tpu.slam import inertial as inert
+            R_cur, t_cur, v_pred = inert.predict_state_imu(
+                self.R, self.t, self.inertial.v_w,
+                self.inertial.last_preint, self.inertial.bias_g,
+                self.inertial.bias_a)
+            has_vel = False      # prediction already applied
         Rv, tv = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
         R_new, t_new, bind, counts, st = track_frame_step(
-            self.st, self.cam, feat, self.last_bind, self.R, self.t, Rv, tv,
+            self.st, self.cam, feat, self.last_bind, R_cur, t_cur, Rv, tv,
             jnp.asarray(self.ref_kf), min_inliers=self.min_inliers_track,
             use_depth=self.use_depth, has_vel=has_vel)
 
@@ -485,6 +499,13 @@ class Tracker:
         # feeds back through the velocity chain and grows exponentially
         Ri, ti = lie.se3_inv(self.R_last, self.t_last)
         self.vel = lie.se3_mul(R_new, t_new, Ri, ti)
+        # world-frame velocity for the inertial pipeline
+        if self.inertial is not None and self.last_time is not None:
+            dt = jnp.maximum(feat.time - self.last_time, 1e-3)
+            p_new = -jnp.einsum('ji,j->i', R_new, t_new)
+            p_old = -jnp.einsum('ji,j->i', self.R_last, self.t_last)
+            self.inertial.v_w = (p_new - p_old) / dt
+        self.last_time = feat.time
         self.R_last, self.t_last = R_new, t_new
         self.R, self.t = R_new, t_new
         self.last_feat = feat
