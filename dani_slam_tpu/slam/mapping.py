@@ -266,6 +266,46 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Keyframe culling (reference: LocalMapping::KeyFrameCulling
+# src/LocalMapping.cc:904 — erase local keyframes whose landmarks are >=90%
+# observed by >=3 other keyframes; Nd=21 temporal window)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_check",))
+def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
+                             n_check: int = 10,
+                             redundancy: float = 0.9):
+    """Check the covisible neighbors of center_kf; mark one redundant KF for
+    removal per call (the reference also erases at most gradually — the KF
+    queue re-runs culling every cycle)."""
+    neigh, w = mstate.best_covisible(st, center_kf, n_check)
+
+    obs_valid = st.obs_lm >= 0                        # [K,N]
+    obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
+
+    def redundancy_of(k):
+        row_valid = obs_valid[k]
+        lm = obs_safe[k]
+        n_obs = jnp.take(st.lm_n_obs, lm)
+        redundant = row_valid & (n_obs >= 4)   # seen by >=3 others + itself
+        n_total = jnp.sum(row_valid.astype(jnp.int32))
+        n_red = jnp.sum(redundant.astype(jnp.int32))
+        frac = n_red.astype(jnp.float32) / jnp.maximum(n_total, 1)
+        # never cull the newest KF, the map origin, or near-empty KFs
+        protected = ((k == center_kf) | (k == jnp.argmax(st.kf_mask)) |
+                     (n_total < 30))
+        return jnp.where(st.kf_mask[k] & ~protected & (w[0] >= 0), frac, -1.0)
+
+    fracs = jax.vmap(redundancy_of)(neigh)
+    best = jnp.argmax(fracs)
+    kill = fracs[best] >= redundancy
+    k_kill = neigh[best]
+    st2 = mstate.cull_keyframe(st, k_kill)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(kill, a, b), st2, st)
+
+
+# ---------------------------------------------------------------------------
 # Fused keyframe step — ONE device program per keyframe: insert + landmark
 # creation + fuse + local BA + culling (the whole LocalMapping::Run pipeline,
 # src/LocalMapping.cc:85-107, as a single XLA program).
@@ -289,6 +329,10 @@ def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
     if do_ba:
         st = local_bundle_adjustment(st, cam, k)
     st = cull_bad_landmarks(st, st.next_kf_counter)
+    # up to two redundant neighbors culled per keyframe (the reference
+    # erases every redundant KF in the local window per pass)
+    st = cull_redundant_keyframes(st, k)
+    st = cull_redundant_keyframes(st, k)
     return st, k, jnp.sum((bind >= 0).astype(jnp.int32))
 
 

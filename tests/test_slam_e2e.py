@@ -128,3 +128,25 @@ class TestPipelined:
         n = min(len(outs[True]), len(outs[False]))
         diff = np.abs(outs[True][:n] - outs[False][:n]).max()
         assert diff < 0.05, f"pipelined trajectory diverged: {diff}"
+
+
+class TestKeyFrameCulling:
+    def test_redundant_kfs_removed(self):
+        """A camera that barely moves creates redundant KFs; culling must
+        bound keyframe growth (reference: KeyFrameCulling
+        src/LocalMapping.cc:904)."""
+        world = synthetic.make_world(1200, desc_dim=64, seed=9)
+        R_gt, t_gt = synthetic.orbit_trajectory(40, radius=10.0,
+                                                angle_span=0.05)  # ~static
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512,
+                     enable_loop_closing=False)
+        sys.tracker.max_frames_between_kf = 2   # force frequent KFs
+        for i in range(40):
+            feat, _ = synthetic.render_frame(
+                world, CAM, R_gt[i], t_gt[i], n_max=512, noise_px=0.3,
+                seed=i, with_depth=True, time=i / 30.0)
+            sys.track_features(feat)
+        # ~21 KFs would be created without culling; the 90%-redundancy
+        # rule (reference threshold) culls the clearly redundant ones
+        assert sys.n_keyframes() <= 17, f"{sys.n_keyframes()} KFs kept"
+        assert sys.tracker.state == "OK"
