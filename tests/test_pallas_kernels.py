@@ -1,0 +1,69 @@
+"""Pallas kernel tests (interpret mode on CPU; numerics vs the XLA oracle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dani_slam_tpu.ops import pallas_kernels as pk
+
+RNG = np.random.RandomState(41)
+
+
+def make_problem(M=300, N=700, D=64, seed=0):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(M, D).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t = rng.randn(N, D).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    # plant exact matches for the first min(M,N)//2 rows
+    k = min(M, N) // 2
+    t[:k] = q[:k]
+    qxy = rng.uniform(0, 640, (M, 2)).astype(np.float32)
+    txy = rng.uniform(0, 640, (N, 2)).astype(np.float32)
+    txy[:k] = qxy[:k] + rng.randn(k, 2) * 2
+    qv = rng.rand(M) > 0.1
+    tv = rng.rand(N) > 0.1
+    return (jnp.asarray(q), jnp.asarray(qxy), jnp.asarray(qv),
+            jnp.asarray(t), jnp.asarray(txy), jnp.asarray(tv))
+
+
+class TestWindowMatch:
+    def test_matches_xla_oracle(self):
+        args = make_problem()
+        b1, s1, i1 = pk.window_match_topk2(*args, 10.0, interpret=True)
+        b2, s2, i2 = pk.window_match_topk2_xla(*args, 10.0)
+        found1 = np.asarray(b1) < 1e8
+        found2 = np.asarray(b2) < 1e8
+        np.testing.assert_array_equal(found1, found2)
+        np.testing.assert_array_equal(np.asarray(i1)[found1],
+                                      np.asarray(i2)[found1])
+        np.testing.assert_allclose(np.asarray(b1)[found1],
+                                   np.asarray(b2)[found1], atol=2e-2)
+        np.testing.assert_allclose(np.asarray(s1)[found1 & (np.asarray(s1) < 1e8)],
+                                   np.asarray(s2)[found1 & (np.asarray(s1) < 1e8)],
+                                   atol=2e-2)
+
+    def test_planted_matches_found(self):
+        q, qxy, qv, t, txy, tv = make_problem(M=128, N=256, seed=3)
+        qv = jnp.ones(128, bool)
+        tv = jnp.ones(256, bool)
+        b, s, i = pk.window_match_topk2(q, qxy, qv, t, txy, tv, 10.0,
+                                        interpret=True)
+        k = 64
+        hits = (np.asarray(i[:k]) == np.arange(k)) & (np.asarray(b[:k]) < 0.3)
+        assert hits.mean() > 0.9
+
+    def test_no_valid_targets(self):
+        q, qxy, qv, t, txy, tv = make_problem(M=64, N=128)
+        b, s, i = pk.window_match_topk2(q, qxy, qv, t, txy,
+                                        jnp.zeros(128, bool), 10.0,
+                                        interpret=True)
+        assert float(jnp.min(b)) >= 1e8
+
+    def test_per_query_radius(self):
+        q, qxy, qv, t, txy, tv = make_problem(M=64, N=128, seed=4)
+        r = jnp.full((64,), 0.001)   # vanishing windows: no matches
+        b, _, _ = pk.window_match_topk2(q, qxy, jnp.ones(64, bool), t, txy,
+                                        jnp.ones(128, bool), r,
+                                        interpret=True)
+        # planted targets are ~2px away, outside the 0.001 radius
+        assert float(jnp.min(b)) >= 1e8
