@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""TUM monocular runner (reference: Examples/Monocular/mono_tum.cc)."""
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("sequence")
+    ap.add_argument("--out-prefix", default="")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    from dani_slam_tpu.core import config as cfg
+    from dani_slam_tpu.core import state as mstate
+    from dani_slam_tpu.slam.system import Sensor, System
+    from dani_slam_tpu.utils import io as io_utils
+
+    settings = cfg.Settings.from_yaml(args.settings)
+    sys_ = System(settings.camera(), Sensor.MONOCULAR,
+                  caps=mstate.MapCaps(N=max(512, settings.n_features)),
+                  n_features=settings.n_features, pipelined=True)
+
+    frames = io_utils.load_tum_rgb_list(args.sequence)
+    if args.max_frames:
+        frames = frames[:args.max_frames]
+    for i, (ts, rel) in enumerate(frames):
+        img = io_utils.load_image(f"{args.sequence}/{rel}")
+        state, R, t = sys_.track_monocular(img, ts)
+        if i % 50 == 0:
+            print(f"[{i}/{len(frames)}] {state} kf={sys_.n_keyframes()}")
+    sys_.shutdown()
+    io_utils.save_trajectory_tum(args.out_prefix + "CameraTrajectory.txt",
+                                 sys_.tracker.trajectory)
+
+
+if __name__ == "__main__":
+    main()

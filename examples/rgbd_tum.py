@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""TUM RGB-D sequence runner (reference: Examples/RGB-D/rgbd_tum.cc —
+loads an association file, feeds System::TrackRGBD per frame at dataset
+rate, saves CameraTrajectory.txt / KeyFrameTrajectory.txt on shutdown).
+
+Usage:
+  python examples/rgbd_tum.py SETTINGS.yaml SEQUENCE_DIR ASSOCIATIONS.txt \
+      [--out-prefix OUT] [--max-frames N] [--viz]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("sequence")
+    ap.add_argument("associations")
+    ap.add_argument("--out-prefix", default="")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viz", action="store_true")
+    ap.add_argument("--detector", action="store_true",
+                    help="enable YOLO dynamic masking")
+    args = ap.parse_args()
+
+    import jax
+    from dani_slam_tpu.core import config as cfg
+    from dani_slam_tpu.core import state as mstate
+    from dani_slam_tpu.slam.system import Sensor, System
+    from dani_slam_tpu.utils import io as io_utils, timing
+
+    settings = cfg.Settings.from_yaml(args.settings)
+    cam = settings.camera()
+    detector = None
+    if args.detector:
+        from dani_slam_tpu.models.yolo import Detector
+        detector = Detector()
+
+    sys_ = System(cam, Sensor.RGBD,
+                  caps=mstate.MapCaps(N=max(512, settings.n_features)),
+                  n_features=settings.n_features, detector=detector,
+                  pipelined=True)
+
+    assoc = io_utils.load_tum_associations(args.associations)
+    if args.max_frames:
+        assoc = assoc[:args.max_frames]
+    timer = timing.StageTimer()
+
+    for i, (t_rgb, rgb_rel, _, depth_rel) in enumerate(assoc):
+        rgb = io_utils.load_image(f"{args.sequence}/{rgb_rel}")
+        depth = io_utils.load_image(f"{args.sequence}/{depth_rel}")
+        with timer.stage("track"):
+            state, R, t = sys_.track_rgbd(rgb, depth, t_rgb,
+                                          settings.depth_map_factor)
+        if i % 50 == 0:
+            print(f"[{i}/{len(assoc)}] {state} kf={sys_.n_keyframes()} "
+                  f"lm={sys_.n_landmarks()}")
+
+    sys_.shutdown()
+    pre = args.out_prefix
+    io_utils.save_trajectory_tum(pre + "CameraTrajectory.txt",
+                                 sys_.tracker.trajectory)
+    timer.save_means(pre + "ExecMean.txt")
+    timer.save_csv(pre + "TrackingTimeStats.txt")
+    s = timer.summary().get("track", {})
+    print(f"done: {len(assoc)} frames, mean track "
+          f"{s.get('mean_ms', 0):.1f} ms "
+          f"({1000.0 / max(s.get('mean_ms', 1), 1e-9):.1f} FPS)")
+    if args.viz:
+        from dani_slam_tpu.utils.viewer import draw_map
+        draw_map(sys_.map_state, sys_.tracker.trajectory, path=pre + "map.png")
+        print(f"map rendered to {pre}map.png")
+
+
+if __name__ == "__main__":
+    main()

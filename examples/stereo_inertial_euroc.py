@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""EuRoC stereo-inertial runner (reference:
+Examples/Stereo-Inertial/stereo_inertial_euroc.cc — cam0/cam1 images + IMU
+csv, feeds System::TrackStereo with the sample window per frame)."""
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("settings")
+    ap.add_argument("sequence")
+    ap.add_argument("--out-prefix", default="")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--no-imu", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from dani_slam_tpu.core import config as cfg
+    from dani_slam_tpu.core import state as mstate
+    from dani_slam_tpu.slam import frame as frame_mod, inertial as inert
+    from dani_slam_tpu.slam.system import Sensor, System
+    from dani_slam_tpu.utils import io as io_utils
+
+    settings = cfg.Settings.from_yaml(args.settings)
+    cam = settings.camera()
+    sensor = Sensor.STEREO if args.no_imu else Sensor.IMU_STEREO
+    sys_ = System(cam, sensor,
+                  caps=mstate.MapCaps(N=max(512, settings.n_features)),
+                  n_features=settings.n_features, pipelined=True)
+
+    left = io_utils.load_euroc_cam_list(args.sequence, "cam0")
+    right = io_utils.load_euroc_cam_list(args.sequence, "cam1")
+    imu_t, imu_w, imu_a = (None, None, None)
+    if not args.no_imu:
+        imu_t, imu_w, imu_a = io_utils.load_euroc_imu(args.sequence)
+    if args.max_frames:
+        left = left[:args.max_frames]
+
+    prev_t = None
+    for i, (ts, lpath) in enumerate(left):
+        img_l = io_utils.load_image(lpath)
+        img_r = io_utils.load_image(right[i][1]) if i < len(right) else img_l
+        feat = frame_mod.build_frame_stereo(
+            sys_._sp(), img_l, img_r, cam, settings.baseline, ts,
+            n_max=sys_.n_features)
+        win = None
+        if imu_t is not None and prev_t is not None:
+            sel = (imu_t > prev_t) & (imu_t <= ts)
+            if sel.any():
+                dts = np.diff(np.concatenate([[prev_t], imu_t[sel]]))
+                win = inert.make_window(imu_w[sel], imu_a[sel], dts)
+        state, R, t = sys_.track_features(feat, imu_window=win)
+        prev_t = ts
+        if i % 50 == 0:
+            print(f"[{i}/{len(left)}] {state} kf={sys_.n_keyframes()}")
+    sys_.shutdown()
+    io_utils.save_trajectory_euroc(args.out_prefix + "CameraTrajectory.txt",
+                                   sys_.tracker.trajectory)
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,26 @@ class TestTiming:
         t.save_csv(str(tmp_path / "stats.csv"))
         t.save_means(str(tmp_path / "means.txt"))
         assert os.path.exists(tmp_path / "stats.csv")
+
+
+class TestViewer:
+    def test_draw_map_and_frame(self, tmp_path):
+        import jax.numpy as jnp
+        from dani_slam_tpu.utils import viewer
+        caps = mstate.MapCaps(K=8, L=64, N=16, D=8)
+        st = mstate.empty_map(caps)
+        st, _ = mstate.insert_keyframe(
+            st, jnp.eye(3), jnp.zeros(3), 0.0, jnp.asarray(0),
+            jnp.zeros((16, 2)), jnp.ones(16, bool), jnp.zeros((16, 8)),
+            jnp.full((16,), jnp.inf), jnp.zeros((16,), jnp.int8),
+            jnp.full((16,), -1, jnp.int32))
+        p = str(tmp_path / "map.png")
+        viewer.draw_map(st, trajectory=[(0.0, np.eye(3), np.zeros(3))],
+                        path=p)
+        assert os.path.getsize(p) > 1000
+        p2 = str(tmp_path / "frame.png")
+        viewer.draw_frame(np.zeros((48, 64)), np.asarray([[10.0, 10.0]]),
+                          np.asarray([True]), bindings=np.asarray([3]),
+                          boxes=np.asarray([[5.0, 5.0, 20.0, 20.0]]),
+                          box_mask=np.asarray([True]), state="OK", path=p2)
+        assert os.path.getsize(p2) > 1000
