@@ -77,17 +77,31 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
     R0,t0: [P,...] initial T_cw poses. pose_fixed [P] bool: gauge/anchor
     poses excluded from the update (reference: fixed observer KFs and KF 0,
     src/Optimizer.cc:1220-1260). lm0 [L,3] initial landmark positions,
-    lm_valid [L]. Observations are padded flat lists: obs_kf [M] pose index,
-    obs_lm [M] landmark index, obs_xy [M,2] pixel, obs_valid [M].
+    lm_valid [L]. Observations are padded flat lists in KEYFRAME-MAJOR
+    order — obs_kf MUST equal repeat(arange(P), N) for some N (the natural
+    layout of the MapState observation table). This makes the pose-block
+    reductions pure reshape-sums and the landmark-block reductions one-hot
+    matmuls on the MXU; TPU scatter-adds (sequential, ~0.5 us/row — 60 ms
+    per local-BA solve at SLAM sizes) never appear.
     """
     P = R0.shape[0]
     L = lm0.shape[0]
-    info = jnp.ones(obs_kf.shape[0]) if obs_info is None else obs_info
+    M = obs_kf.shape[0]
+    N = M // P
+    info = jnp.ones(M) if obs_info is None else obs_info
     delta = huber_delta
 
     obs_kf = jnp.where(obs_valid, obs_kf, 0)
     obs_lm = jnp.where(obs_valid, obs_lm, 0)
     base_valid = obs_valid & jnp.take(lm_valid, obs_lm)
+
+    # one-hot landmark assignment per observation row: [P, N, L] in bf16.
+    # Built once (indices don't change across LM iterations).
+    row_lm = obs_lm.reshape(P, N)
+    row_ok = base_valid.reshape(P, N)
+    onehot = ((row_lm[:, :, None] ==
+               jnp.arange(L, dtype=row_lm.dtype)[None, None, :]) &
+              row_ok[:, :, None]).astype(jnp.float32)
 
     def cost_of(R, t, lm, w_sel):
         r, _, _ = _residuals(R, t, cam, lm, obs_kf, obs_lm, obs_xy)
@@ -102,18 +116,26 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         w = (_robust_w(c, delta) if robust else jnp.ones_like(c)) * info
         w = jnp.where(base_valid, w, 0.0)
 
-        # block assemblies (scatter-add over observations)
         JtJ_p = jnp.einsum('mik,m,mil->mkl', Jpose, w, Jpose)   # [M,6,6]
         JtJ_l = jnp.einsum('mik,m,mil->mkl', Jpt, w, Jpt)       # [M,3,3]
         JtJ_pl = jnp.einsum('mik,m,mil->mkl', Jpose, w, Jpt)    # [M,6,3]
         b_p = jnp.einsum('mik,m,mi->mk', Jpose, w, r)           # [M,6]
         b_l = jnp.einsum('mik,m,mi->mk', Jpt, w, r)             # [M,3]
 
-        H_pp = jnp.zeros((P, 6, 6)).at[obs_kf].add(JtJ_p)
-        H_ll = jnp.zeros((L, 3, 3)).at[obs_lm].add(JtJ_l)
-        H_pl = jnp.zeros((P, L, 6, 3)).at[obs_kf, obs_lm].add(JtJ_pl)
-        g_p = jnp.zeros((P, 6)).at[obs_kf].add(b_p)
-        g_l = jnp.zeros((L, 3)).at[obs_lm].add(b_l)
+        # pose blocks: kf-major layout -> plain reshape-sum over N
+        H_pp = JtJ_p.reshape(P, N, 6, 6).sum(1)
+        g_p = b_p.reshape(P, N, 6).sum(1)
+        # landmark blocks: one-hot matmuls (MXU), no scatter; f32 products
+        # (one-hot entries are exact 0/1, JtJ stays full precision)
+        H_ll = jnp.einsum('pnl,pnij->lij', onehot,
+                          JtJ_l.reshape(P, N, 3, 3),
+                          preferred_element_type=jnp.float32)
+        H_pl = jnp.einsum('pnl,pnik->plik', onehot,
+                          JtJ_pl.reshape(P, N, 6, 3),
+                          preferred_element_type=jnp.float32)
+        g_l = jnp.einsum('pnl,pnk->lk', onehot,
+                         b_l.reshape(P, N, 3),
+                         preferred_element_type=jnp.float32)
 
         # damping
         H_pp = H_pp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_pp))
