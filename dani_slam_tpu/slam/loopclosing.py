@@ -255,14 +255,17 @@ class LoopCloser:
         self.last_loop_kf = -10 ** 9
         self.n_loops = 0
 
-    def on_keyframe(self, st: mstate.MapState, kf: int):
+    def on_keyframe(self, st: mstate.MapState, kf: int,
+                    kf_count: int | None = None):
         """Add KF to the database; attempt loop detection + correction.
-        Returns (possibly corrected) state."""
+        Returns (possibly corrected) state. kf_count lets the caller pass
+        its host-side keyframe counter (avoids a device pull per KF)."""
         w = vocab.quantize(st.kf_desc[kf], st.kf_kp_mask[kf], self.codebook)
         self.bow = self.bow.at[kf].set(
             vocab.bow_vector(w, self.codebook.shape[0]))
 
-        kf_count = int(st.next_kf_counter)
+        if kf_count is None:
+            kf_count = int(st.next_kf_counter)
         if kf_count < 12 or kf_count - self.last_loop_kf < self.min_kf_gap:
             return st
 

@@ -165,7 +165,8 @@ class System:
         tr.ref_kf = int(k_host)
         tr.ref_kf_tracked = int(n_host)
         if self.loop_closer is not None:
-            tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf)
+            tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
+                                                kf_count=self._kf_count)
         if self.atlas.n_maps() > 0:
             self._try_map_merge()
         if self.use_imu:
