@@ -57,6 +57,28 @@ def _residuals(R, t, cam, lm_pos, obs_kf, obs_lm, obs_xy):
     return r, Jpose, Jpt
 
 
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([jnp.stack([A11, A12, A13], -1),
+                     jnp.stack([A21, A22, A23], -1),
+                     jnp.stack([A31, A32, A33], -1)], -2)
+    return adj / det[..., None, None]
+
+
 def _robust_w(c, delta):
     sq = jnp.sqrt(jnp.maximum(c, 1e-12))
     return jnp.where(sq <= delta, 1.0, delta / sq)
@@ -143,8 +165,10 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         H_ll = H_ll + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_ll))
                        + 1e-8 * jnp.eye(3))
 
-        # landmark block inverse (3x3 closed form via solve)
-        Hll_inv = jnp.linalg.inv(H_ll)                          # [L,3,3]
+        # landmark block inverse — closed-form adjugate (batched
+        # jnp.linalg.inv lowers to LU, orders of magnitude slower on TPU
+        # for [L,3,3] stacks)
+        Hll_inv = _inv3x3(H_ll)                                 # [L,3,3]
 
         # Schur: S = H_pp - sum_l H_pl Hll^-1 H_pl^T  (per pose-pair block)
         # W[p,l] = H_pl[p,l] @ Hll_inv[l]   [P,L,6,3]

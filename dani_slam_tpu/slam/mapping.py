@@ -177,7 +177,7 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
 @partial(jax.jit, static_argnames=("P_opt", "P_fix", "L_loc", "iters"))
 def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
                             P_opt: int = 8, P_fix: int = 8,
-                            L_loc: int = 4096, iters: int = 8):
+                            L_loc: int = 2048, iters: int = 6):
     """Optimize the covisibility window around center_kf.
 
     Window: center + its (P_opt-1) best covisible KFs are optimized; the
