@@ -85,6 +85,9 @@ class System:
             from dani_slam_tpu.slam.inertial import InertialState
             self.tracker.inertial = InertialState()
             self._kf_window_marks = []   # frame_windows index at each KF
+            self._recent_kfs = []        # temporal KF chain (slots)
+            self._recent_preints = []    # KF-to-KF preintegrations
+            self.vi_window = 8           # Nd (reference uses 10)
 
     # -- frame entry points ----------------------------------------------
 
@@ -153,8 +156,10 @@ class System:
         feat, bind, R_kf, t_kf = tr.pending_kf
         tr.pending_kf = None
         self._kf_count += 1
+        imu_ready = (self.use_imu and self.tracker.inertial is not None
+                     and self.tracker.inertial.initialized)
         do_ba = (self._kf_count % self.local_ba_every == 0
-                 and self._kf_count > 1)
+                 and self._kf_count > 1 and not imu_ready)
         st, k, n_tracked = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
             bind, R_kf, t_kf, feat.time, jnp.asarray(tr.frame_id - 1),
@@ -171,6 +176,53 @@ class System:
             self._try_map_merge()
         if self.use_imu:
             self._maybe_initialize_imu()
+            self._record_kf_preint()
+            if self.tracker.inertial.initialized:
+                self._run_local_inertial_ba()
+
+    def _record_kf_preint(self):
+        """Preintegrate the window since the previous keyframe and track the
+        temporal KF chain for LocalInertialBA."""
+        tr = self.tracker
+        marks = self._kf_window_marks
+        if len(marks) >= 2:
+            bounds = [(marks[-2], marks[-1])]
+            pre = tr.inertial.kf_chain_preintegrations(bounds)[0]
+        else:
+            pre = None
+        self._recent_kfs.append(tr.ref_kf)
+        self._recent_preints.append(pre)
+        if len(self._recent_kfs) > self.vi_window:
+            self._recent_kfs.pop(0)
+            self._recent_preints.pop(0)
+
+    def _run_local_inertial_ba(self):
+        """Temporal-window VI BA (reference: LocalInertialBA replaces the
+        visual local BA once the IMU is initialized,
+        src/LocalMapping.cc:150-151)."""
+        from dani_slam_tpu.slam import inertial_mapping
+        import jax.tree_util as jtu
+        tr = self.tracker
+        P = self.vi_window
+        slots = self._recent_kfs[-P:]
+        pres = self._recent_preints[-P:]
+        if len(slots) < 3:
+            return
+        # pad to fixed window size
+        pad = P - len(slots)
+        slot_arr = jnp.asarray([slots[0]] * pad + slots, jnp.int32)
+        valid = jnp.asarray([False] * pad + [True] * len(slots))
+        pre_list = []
+        edge_ok = []
+        from dani_slam_tpu.ops import imu as imu_ops
+        ident = imu_ops.identity_preintegration()
+        for p in ([None] * pad + pres)[1:]:
+            pre_list.append(p if p is not None else ident)
+            edge_ok.append(p is not None)
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *pre_list)
+        tr.st = inertial_mapping.local_inertial_ba(
+            tr.st, self.cam, slot_arr, valid, stacked,
+            jnp.asarray(edge_ok), tr.inertial.calib)
 
     def _maybe_initialize_imu(self):
         """Run gravity/scale init once enough keyframes + time accumulated

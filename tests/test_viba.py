@@ -1,0 +1,139 @@
+"""Joint visual-inertial BA tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dani_slam_tpu.core import cameras, lie
+from dani_slam_tpu.ops import imu as imu_ops
+from dani_slam_tpu.ops import viba
+
+CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
+CAL = imu_ops.ImuCalib.default()
+
+
+def make_vi_problem(P=6, L=150, noise_px=0.4, pose_err=0.02, v_err=0.1,
+                    seed=0):
+    """Accelerating+rotating trajectory with perfect IMU windows."""
+    rng = np.random.RandomState(seed)
+    from scipy.spatial.transform import Rotation
+
+    accel = np.array([0.8, 0.0, 0.3])
+    wz = 0.25
+
+    def traj(t):
+        R_wb = Rotation.from_rotvec([0, 0, wz * t]).as_matrix()
+        C = np.array([0.0, 0.0, -8.0]) + 0.5 * accel * t * t
+        return R_wb, C, accel * t
+
+    times = np.linspace(0, 2.0, P)
+    R_true, t_true, v_true = [], [], []
+    for tt in times:
+        R_wb, C, v = traj(tt)
+        R_cw = R_wb.T
+        R_true.append(R_cw)
+        t_true.append(-R_cw @ C)
+        v_true.append(v)
+    R_true = jnp.asarray(np.stack(R_true), jnp.float32)
+    t_true = jnp.asarray(np.stack(t_true), jnp.float32)
+    v_true = jnp.asarray(np.stack(v_true), jnp.float32)
+
+    # landmarks in front of the trajectory
+    pts = rng.randn(L, 3).astype(np.float32)
+    pts[:, 0] = pts[:, 0] * 3
+    pts[:, 1] = pts[:, 1] * 2
+    pts[:, 2] = rng.uniform(-4, 2, L)
+    pts = jnp.asarray(pts)
+
+    # observations (all KFs see all landmarks; z>0 check applied via valid)
+    obs_xy = []
+    obs_valid = []
+    for k in range(P):
+        pc = lie.se3_apply(R_true[k], t_true[k], pts)
+        xy = cameras.project(CAM, pc)
+        xy = xy + noise_px * jnp.asarray(rng.randn(L, 2), jnp.float32)
+        obs_xy.append(xy)
+        obs_valid.append((pc[:, 2] > 0.5))
+    obs_xy = jnp.stack(obs_xy)
+    obs_valid = jnp.stack(obs_valid)
+    obs_lm = jnp.broadcast_to(jnp.arange(L)[None], (P, L))
+
+    # per-pair IMU preintegration from dense samples
+    preints = []
+    for k in range(P - 1):
+        n = 300
+        ts = np.linspace(times[k], times[k + 1], n + 1)
+        gy, ac, dt = [], [], []
+        for i in range(n):
+            R_wb, C, v = traj(ts[i])
+            a_w = accel
+            w_b = np.array([0.0, 0.0, wz])
+            # gyro measures body rate; R_wb' = R_wb [w]x
+            gy.append(R_wb.T @ (R_wb @ w_b))   # = w in body frame (z const)
+            ac.append(R_wb.T @ (a_w - np.asarray(imu_ops.G_VEC)))
+            dt.append(ts[i + 1] - ts[i])
+        preints.append(imu_ops.preintegrate(
+            jnp.asarray(np.asarray(gy, np.float32)),
+            jnp.asarray(np.asarray(ac, np.float32)),
+            jnp.asarray(np.asarray(dt, np.float32)),
+            jnp.ones(n, bool), jnp.zeros(3), jnp.zeros(3), CAL))
+    preints = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
+
+    # perturb states (keep the two anchors exact)
+    dxi = jnp.asarray(rng.randn(P, 6) * pose_err, jnp.float32)
+    dxi = dxi.at[0].set(0.0).at[1].set(0.0)
+    dR, dt_ = lie.se3_exp(dxi)
+    R0 = dR @ R_true
+    t0 = jnp.einsum('pij,pj->pi', dR, t_true) + dt_
+    v0 = v_true + jnp.asarray(rng.randn(P, 3) * v_err, jnp.float32)
+    lm0 = pts + jnp.asarray(rng.randn(L, 3) * 0.05, jnp.float32)
+    fixed = jnp.zeros(P, bool).at[0].set(True).at[1].set(True)
+
+    return dict(R0=R0, t0=t0, v0=v0, lm0=lm0, fixed=fixed,
+                obs_lm=obs_lm, obs_xy=obs_xy, obs_valid=obs_valid,
+                preints=preints, truth=(R_true, t_true, v_true, pts))
+
+
+class TestVIBA:
+    def test_joint_recovery(self):
+        p = make_vi_problem()
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        res = viba.viba_solve(
+            p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)), jnp.zeros((P, 3)),
+            p["fixed"], p["lm0"], jnp.ones(L, bool), CAM,
+            p["obs_lm"], p["obs_xy"], p["obs_valid"], p["preints"],
+            jnp.ones(P - 1, bool), CAL, iters=10)
+        R_t, t_t, v_t, pts = p["truth"]
+        np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_t),
+                                   atol=0.03)
+        # velocities recovered by the inertial chain
+        np.testing.assert_allclose(np.asarray(res.v), np.asarray(v_t),
+                                   atol=0.15)
+        # biases stay near zero for a perfect IMU
+        assert float(jnp.abs(res.bg).max()) < 0.02
+
+    def test_imu_constrains_scale_free_directions(self):
+        """With only 2 visible landmarks per frame, vision alone is
+        underdetermined; the inertial chain must still keep the solve
+        finite and near the prior."""
+        p = make_vi_problem()
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        ov = p["obs_valid"].at[:, 2:].set(False)    # only 2 landmarks
+        res = viba.viba_solve(
+            p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)), jnp.zeros((P, 3)),
+            p["fixed"], p["lm0"], jnp.ones(L, bool), CAM,
+            p["obs_lm"], p["obs_xy"], ov, p["preints"],
+            jnp.ones(P - 1, bool), CAL, iters=6)
+        assert np.isfinite(np.asarray(res.t)).all()
+        assert np.isfinite(np.asarray(res.v)).all()
+
+    def test_edge_residual_zero_at_truth(self):
+        p = make_vi_problem(pose_err=0.0, v_err=0.0)
+        R_t, t_t, v_t, _ = p["truth"]
+        pre0 = jax.tree_util.tree_map(lambda a: a[0], p["preints"])
+        r = viba._imu_edge_residual(
+            jnp.zeros(15), jnp.zeros(15), R_t[0], t_t[0], v_t[0],
+            jnp.zeros(3), jnp.zeros(3), R_t[1], t_t[1], v_t[1],
+            jnp.zeros(3), jnp.zeros(3), pre0)
+        assert float(jnp.abs(r).max()) < 0.05
