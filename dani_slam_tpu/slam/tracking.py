@@ -348,14 +348,15 @@ class Tracker:
         self.new_kf: Optional[int] = None   # set when a KF was inserted
         self._traj_dev = []      # device-side (time, R, t) refs
         self._traj_host = []     # materialized numpy trajectory
-        self._pending = None     # deferred decision (pipelined mode)
+        self._pending = []       # deferred decisions (pipelined mode)
+        self.pipeline_depth = 2  # frames in flight before resolving
         self.dynamic_ratio = None  # device scalar set by System (YOLO)
         self.inertial = None       # InertialState for IMU_* sensors
         self.last_time = None
 
     def flush(self):
-        """Resolve any deferred decision (call before reading results)."""
-        self._resolve_pending()
+        """Resolve all deferred decisions (call before reading results)."""
+        self._resolve_pending(force=True)
 
     # -- public API -------------------------------------------------------
 
@@ -479,7 +480,8 @@ class Tracker:
             except AttributeError:
                 pass
             self._apply_track(feat, R_new, t_new, bind, st)
-            self._pending = (counts, feat, bind, snapshot)
+            self._pending.append((counts, feat, bind, (R_new, t_new),
+                                  snapshot))
         else:
             n_track, n = (int(c) for c in counts)  # one sync per frame
             if (n_track < self.min_inliers_track or
@@ -511,22 +513,27 @@ class Tracker:
         self.last_feat = feat
         self.last_bind = bind
 
-    def _resolve_pending(self):
-        """Resolve the previous frame's deferred lost/keyframe decision."""
-        if self._pending is None:
-            return
-        counts, feat, bind, snapshot = self._pending
-        self._pending = None
-        n_track, n = (int(c) for c in counts)   # transfer already landed
-        if n_track < self.min_inliers_track or n < self.min_inliers_map:
-            (self.R, self.t, self.R_last, self.t_last, self.vel,
-             self.st, self.last_bind, self.last_feat) = snapshot
-            # drop the optimistically recorded trajectory entry
-            if self._traj_dev:
-                self._traj_dev.pop()
-            self._on_lost(feat)
-        elif self._need_new_kf(n):
-            self._create_kf(feat, bind)
+    def _resolve_pending(self, force: bool = False):
+        """Resolve deferred lost/keyframe decisions once their count
+        transfers have had a pipeline_depth-frames head start (the device->
+        host RTT exceeds the per-frame device time, so a depth-1 pipeline
+        still blocks; deeper deferral fully hides the transfer)."""
+        while self._pending and (force or
+                                 len(self._pending) > self.pipeline_depth):
+            counts, feat, bind, frame_pose, snapshot = self._pending.pop(0)
+            n_track, n = (int(c) for c in counts)
+            if n_track < self.min_inliers_track or n < self.min_inliers_map:
+                # roll back to before the failed frame, discarding the
+                # optimistic updates of the frames after it
+                (self.R, self.t, self.R_last, self.t_last, self.vel,
+                 self.st, self.last_bind, self.last_feat) = snapshot
+                for _ in range(len(self._pending) + 1):
+                    if self._traj_dev:
+                        self._traj_dev.pop()
+                self._pending.clear()
+                self._on_lost(feat)
+            elif self._need_new_kf(n):
+                self._create_kf(feat, bind, pose=frame_pose)
 
     def _on_lost(self, feat: FrameFeatures | None = None):
         self.frames_lost += 1
@@ -568,11 +575,12 @@ class Tracker:
             return False
         return True
 
-    def _create_kf(self, feat: FrameFeatures, bind: jax.Array):
+    def _create_kf(self, feat: FrameFeatures, bind: jax.Array, pose=None):
         """Record the pending keyframe; the System runs the fused
-        insert+mapping program (slam/mapping.py keyframe_step). The pose is
-        snapshotted NOW — in pipelined mode the tracker state may advance a
-        frame before the System executes the step."""
-        self.pending_kf = (feat, bind, self.R, self.t)
+        insert+mapping program (slam/mapping.py keyframe_step). `pose` is
+        the tracked pose OF THAT FRAME — in pipelined mode the tracker state
+        has advanced past it by the pipeline depth."""
+        R_kf, t_kf = pose if pose is not None else (self.R, self.t)
+        self.pending_kf = (feat, bind, R_kf, t_kf)
         self.last_kf_frame = self.frame_id
         self.new_kf = True
