@@ -254,6 +254,12 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.last_loop_kf = -10 ** 9
         self.n_loops = 0
+        # temporal consistency (reference: a loop hypothesis must persist
+        # over consecutive keyframes before correction —
+        # mnLoopNumCoincidences >= 3, src/LoopClosing.cc:376-430)
+        self.consistency_needed = 2
+        self._streak_cand = -1
+        self._streak = 0
 
     def on_keyframe(self, st: mstate.MapState, kf: int,
                     kf_count: int | None = None):
@@ -274,6 +280,18 @@ class LoopCloser:
             n_best=3)
         best = int(idx[0])
         if float(vals[0]) <= 0.0 or best == kf:
+            self._streak = 0
+            self._streak_cand = -1
+            return st
+
+        # temporal consistency: the same candidate (or its covisible
+        # neighborhood) must recur over consecutive keyframes
+        consistent = (self._streak_cand >= 0 and
+                      (best == self._streak_cand or
+                       bool(st.covis[best, self._streak_cand] > 10)))
+        self._streak = self._streak + 1 if consistent else 1
+        self._streak_cand = best
+        if self._streak < self.consistency_needed:
             return st
 
         self.key, sub = jax.random.split(self.key)
@@ -289,4 +307,6 @@ class LoopCloser:
             st = global_bundle_adjustment(st, self.cam)
         self.last_loop_kf = kf_count
         self.n_loops += 1
+        self._streak = 0
+        self._streak_cand = -1
         return st
