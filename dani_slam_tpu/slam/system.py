@@ -166,6 +166,7 @@ class System:
             use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
             max_depth=self.max_depth)
         tr.st = st
+        tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
         k_host, n_host = jax.device_get((k, n_tracked))
         tr.ref_kf = int(k_host)
         tr.ref_kf_tracked = int(n_host)

@@ -251,7 +251,8 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
 # small scalar bundle per frame for the state machine.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("use_depth", "has_vel"))
+@partial(jax.jit,
+         static_argnames=("min_inliers", "use_depth", "has_vel"))
 def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
                      last_bind: jax.Array, R_cur, t_cur, Rv, tv,
                      ref_kf: jax.Array, min_inliers: int = 10,
@@ -340,6 +341,9 @@ class Tracker:
         self.t_last = jnp.zeros(3)
         self.vel = None          # (Rv, tv): T_cur * T_last^-1
         self.ref_kf = 0
+        self.ref_kf_dev = jnp.zeros((), jnp.int32)   # device copy — passing
+        # jnp.asarray(int) per frame would upload a scalar through the
+        # (remote) transport every frame
         self.ref_kf_tracked = 0
         self.pending_kf = None
         self.reloc_fn = None     # System installs the relocalizer
@@ -434,6 +438,7 @@ class Tracker:
         self.last_feat = feat
         self.last_bind = bind
         self.ref_kf = ref_kf
+        self.ref_kf_dev = jnp.asarray(ref_kf, jnp.int32)
         self.ref_kf_tracked = int((bind >= 0).sum())
         self.last_kf_frame = self.frame_id
         self.vel = None
@@ -463,7 +468,7 @@ class Tracker:
         Rv, tv = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
         R_new, t_new, bind, counts, st = track_frame_step(
             self.st, self.cam, feat, self.last_bind, R_cur, t_cur, Rv, tv,
-            jnp.asarray(self.ref_kf), min_inliers=self.min_inliers_track,
+            self.ref_kf_dev, min_inliers=self.min_inliers_track,
             use_depth=self.use_depth, has_vel=has_vel)
 
         if self.pipelined:
@@ -483,7 +488,7 @@ class Tracker:
             self._pending.append((counts, feat, bind, (R_new, t_new),
                                   snapshot))
         else:
-            n_track, n = (int(c) for c in counts)  # one sync per frame
+            n_track, n = (int(x) for x in np.asarray(counts))  # one sync
             if (n_track < self.min_inliers_track or
                     n < self.min_inliers_map):
                 self._on_lost(feat)
@@ -521,7 +526,7 @@ class Tracker:
         while self._pending and (force or
                                  len(self._pending) > self.pipeline_depth):
             counts, feat, bind, frame_pose, snapshot = self._pending.pop(0)
-            n_track, n = (int(c) for c in counts)
+            n_track, n = (int(x) for x in np.asarray(counts))
             if n_track < self.min_inliers_track or n < self.min_inliers_map:
                 # roll back to before the failed frame, discarding the
                 # optimistic updates of the frames after it
