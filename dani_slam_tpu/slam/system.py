@@ -351,6 +351,40 @@ class System:
         with open(path, "w") as f:
             f.write("\n".join(rows) + "\n")
 
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe poses only, TUM format (reference:
+        SaveKeyFrameTrajectoryTUM src/System.cc:639)."""
+        from dani_slam_tpu.utils import io as io_utils
+        st = self.tracker.st
+        mask = np.asarray(st.kf_mask)
+        ids = np.nonzero(mask)[0]
+        order = ids[np.argsort(np.asarray(st.kf_time)[ids])]
+        traj = [(float(st.kf_time[k]), np.asarray(st.kf_R[k]),
+                 np.asarray(st.kf_t[k])) for k in order]
+        io_utils.save_trajectory_tum(path, traj)
+
+    def save_atlas(self, path: str):
+        """Persist the active map + place-recognition DB (reference:
+        System::SaveAtlas src/System.cc:1413 — Boost archive + voc MD5)."""
+        from dani_slam_tpu.utils import checkpoint
+        cb = self.loop_closer.codebook if self.loop_closer else None
+        bow = self.loop_closer.bow if self.loop_closer else None
+        checkpoint.save_map(path, self.tracker.st, codebook=cb, bow=bow)
+
+    def load_atlas(self, path: str):
+        """Load a map saved by save_atlas; verifies the codebook checksum
+        (reference: LoadAtlas + MD5 gate, src/System.cc:1455-1516)."""
+        from dani_slam_tpu.utils import checkpoint
+        expect = self.loop_closer.codebook if self.loop_closer else None
+        st, extras = checkpoint.load_map(path, expect_codebook=expect)
+        self.tracker.st = st
+        if self.loop_closer is not None and "bow" in extras:
+            self.loop_closer.bow = extras["bow"]
+        # resume tracking against the loaded map via relocalization
+        self.tracker.state = tracking.RECENTLY_LOST
+        self.tracker.frames_lost = 1
+        self.tracker.last_bind = jnp.full((self.caps.N,), -1, jnp.int32)
+
     def _sp(self):
         if self.sp_params is None:
             import jax

@@ -149,3 +149,60 @@ class TestViewer:
                           boxes=np.asarray([[5.0, 5.0, 20.0, 20.0]]),
                           box_mask=np.asarray([True]), state="OK", path=p2)
         assert os.path.getsize(p2) > 1000
+
+
+class TestSystemPersistence:
+    def test_save_load_atlas_and_relocalize(self, tmp_path):
+        """Build a small map, save, load into a fresh System, verify the
+        returning camera relocalizes against the loaded map (reference:
+        localization-from-saved-Atlas workflow, System.cc:162)."""
+        import jax.numpy as jnp
+        from dani_slam_tpu.core import cameras
+        from dani_slam_tpu.slam.system import Sensor, System
+        from dani_slam_tpu.utils import synthetic
+        CAM = cameras.Camera.pinhole(500., 500., 320., 240., 640, 480)
+        caps = mstate.MapCaps(K=32, L=4096, N=256, D=64)
+        world = synthetic.make_world(1200, desc_dim=64, seed=11)
+        R_gt, t_gt = synthetic.orbit_trajectory(12, radius=10.,
+                                                angle_span=0.25)
+        sys1 = System(CAM, Sensor.RGBD, caps=caps, n_features=256, seed=3)
+        for i in range(12):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=256, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=i / 30.0)
+            sys1.track_features(feat)
+        p = str(tmp_path / "atlas.npz")
+        sys1.save_atlas(p)
+
+        sys2 = System(CAM, Sensor.RGBD, caps=caps, n_features=256, seed=3)
+        sys2.load_atlas(p)
+        assert sys2.n_keyframes() == sys1.n_keyframes()
+        # a frame from a mapped viewpoint relocalizes
+        feat, _ = synthetic.render_frame(world, CAM, R_gt[5], t_gt[5],
+                                         n_max=256, noise_px=0.3, seed=99,
+                                         with_depth=True, time=1.0)
+        s, R, t = sys2.track_features(feat)
+        assert s == "OK"
+
+    def test_keyframe_trajectory_save(self, tmp_path):
+        import jax.numpy as jnp
+        from dani_slam_tpu.core import cameras
+        from dani_slam_tpu.slam.system import Sensor, System
+        from dani_slam_tpu.utils import synthetic
+        CAM = cameras.Camera.pinhole(500., 500., 320., 240., 640, 480)
+        caps = mstate.MapCaps(K=32, L=4096, N=256, D=64)
+        world = synthetic.make_world(1000, desc_dim=64, seed=12)
+        R_gt, t_gt = synthetic.orbit_trajectory(10, radius=10.,
+                                                angle_span=0.3)
+        sys1 = System(CAM, Sensor.RGBD, caps=caps, n_features=256)
+        for i in range(10):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=256, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=i / 30.0)
+            sys1.track_features(feat)
+        p = str(tmp_path / "kf.txt")
+        sys1.save_keyframe_trajectory_tum(p)
+        rows = np.loadtxt(p)
+        assert rows.shape[0] == sys1.n_keyframes() and rows.shape[1] == 8
