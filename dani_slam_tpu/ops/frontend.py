@@ -136,6 +136,38 @@ def sample_descriptors(desc_map: jax.Array, xy: jax.Array, stride: int = 8
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)
 
 
+def extract_multiscale(params, gray: jax.Array, n_max: int = 1024,
+                       n_levels: int = 3, scale_factor: float = 1.2,
+                       threshold: float = 0.007):
+    """Multi-level pyramid extraction (reference: SPextractor runs SuperPoint
+    once per pyramid level and rescales keypoints back to level-0 coords,
+    src/SPextractor.cpp:130-217; per-level target counts via the scale-factor
+    geometric series, SPextractor.cpp:115-127).
+
+    Returns dict(xy, score, desc, valid, octave) with per-level budgets
+    n_max * (1/s^l) / sum and keypoints in level-0 pixel coordinates.
+    """
+    from dani_slam_tpu.models import superpoint
+    from dani_slam_tpu.ops import image as image_ops
+
+    levels = image_ops.gaussian_pyramid(gray, n_levels, scale_factor)
+    inv = [scale_factor ** -l for l in range(n_levels)]
+    denom = sum(inv)
+    budgets = [max(int(round(n_max * w / denom)), 1) for w in inv]
+    budgets[0] += n_max - sum(budgets)     # exact total
+
+    outs = []
+    for lvl, (img, budget) in enumerate(zip(levels, budgets)):
+        heat, dm = superpoint.apply(params, img)
+        out = extract(heat, dm, n_max=budget, threshold=threshold)
+        s = scale_factor ** lvl
+        outs.append(dict(
+            xy=out["xy"] * s, score=out["score"], desc=out["desc"],
+            valid=out["valid"],
+            octave=jnp.full((budget,), lvl, jnp.int8)))
+    return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
 @partial(jax.jit, static_argnames=("n_max",))
 def extract(heat: jax.Array, desc_map: jax.Array, n_max: int = 1024,
             threshold: float = 0.007, boxes: jax.Array | None = None,

@@ -141,3 +141,23 @@ class TestImageOps:
         out = frontend.extract(heat, dm, n_max=64, threshold=0.0)
         assert out["xy"].shape == (64, 2)
         assert out["desc"].shape == (64, 256)
+
+
+class TestMultiscale:
+    def test_levels_and_budgets(self):
+        params = superpoint.init_params(jax.random.PRNGKey(0), 96, 96)
+        g = jnp.asarray(RNG.rand(96, 96), jnp.float32)
+        out = frontend.extract_multiscale(params, g, n_max=64, n_levels=3,
+                                          threshold=0.0)
+        assert out["xy"].shape == (64, 2)
+        assert out["octave"].shape == (64,)
+        octs = set(np.asarray(out["octave"]).tolist())
+        assert octs == {0, 1, 2}
+
+    def test_coords_rescaled_to_level0(self):
+        params = superpoint.init_params(jax.random.PRNGKey(0), 96, 96)
+        g = jnp.asarray(RNG.rand(96, 96), jnp.float32)
+        out = frontend.extract_multiscale(params, g, n_max=64, n_levels=2,
+                                          threshold=0.0)
+        xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
+        assert (xy[:, 0] <= 96).all() and (xy[:, 1] <= 96).all()
