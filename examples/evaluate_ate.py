@@ -10,6 +10,10 @@ Usage:
 Both files are TUM format: `time tx ty tz qx qy qz qw`.
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """TUM monocular runner (reference: Examples/Monocular/mono_tum.cc)."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -18,7 +22,7 @@ def main():
 
     settings = cfg.Settings.from_yaml(args.settings)
     sys_ = System(settings.camera(), Sensor.MONOCULAR,
-                  caps=mstate.MapCaps(N=max(512, settings.n_features)),
+                  caps=mstate.MapCaps(N=settings.n_features),
                   n_features=settings.n_features, pipelined=True)
 
     frames = io_utils.load_tum_rgb_list(args.sequence)

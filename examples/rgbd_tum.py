@@ -8,6 +8,10 @@ Usage:
       [--out-prefix OUT] [--max-frames N] [--viz]
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 
@@ -40,7 +44,7 @@ def main():
         detector = Detector()
 
     sys_ = System(cam, Sensor.RGBD,
-                  caps=mstate.MapCaps(N=max(512, settings.n_features)),
+                  caps=mstate.MapCaps(N=settings.n_features),
                   n_features=settings.n_features, detector=detector,
                   pipelined=True)
 

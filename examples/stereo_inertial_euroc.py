@@ -3,6 +3,10 @@
 Examples/Stereo-Inertial/stereo_inertial_euroc.cc — cam0/cam1 images + IMU
 csv, feeds System::TrackStereo with the sample window per frame)."""
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -27,7 +31,7 @@ def main():
     cam = settings.camera()
     sensor = Sensor.STEREO if args.no_imu else Sensor.IMU_STEREO
     sys_ = System(cam, sensor,
-                  caps=mstate.MapCaps(N=max(512, settings.n_features)),
+                  caps=mstate.MapCaps(N=settings.n_features),
                   n_features=settings.n_features, pipelined=True)
 
     left = io_utils.load_euroc_cam_list(args.sequence, "cam0")

@@ -1,0 +1,91 @@
+"""End-to-end test of the dataset-runner CLI on a generated TUM-format
+sequence (the reference's verification style: example binaries as
+integration tests, SURVEY.md §4)."""
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+SETTINGS = """%YAML:1.0
+Camera1.fx: 300.0
+Camera1.fy: 300.0
+Camera1.cx: 160.0
+Camera1.cy: 120.0
+Camera.width: 320
+Camera.height: 240
+RGBD.DepthMapFactor: 5000.0
+ORBextractor.nFeatures: 256
+"""
+
+
+def write_pgm(path, img, maxv):
+    with open(path, "wb") as f:
+        f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n{maxv}\n".encode())
+        f.write(img.astype(">u2" if maxv > 255 else "u1").tobytes())
+
+
+@pytest.fixture(scope="module")
+def tum_dataset(tmp_path_factory):
+    from test_image_pipeline import render_image
+    seq = tmp_path_factory.mktemp("tum_mini")
+    os.makedirs(seq / "rgb")
+    os.makedirs(seq / "depth")
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(-4, 4, (400, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(4, 9, 400)
+    colors = rng.uniform(120, 215, 400).astype(np.float32)
+    assoc = []
+    rgb_list = ["# ts path"]
+    for i in range(5):
+        t = i / 30.0
+        img, depth = render_image(jnp.asarray(pts), colors, jnp.eye(3),
+                                  jnp.asarray([-0.05 * i, 0.0, 0.0],
+                                              jnp.float32))
+        write_pgm(str(seq / "rgb" / f"{i}.pgm"), img, 255)
+        write_pgm(str(seq / "depth" / f"{i}.pgm"), depth, 65535)
+        assoc.append(f"{t:.4f} rgb/{i}.pgm {t:.4f} depth/{i}.pgm")
+        rgb_list.append(f"{t:.4f} rgb/{i}.pgm")
+    (seq / "assoc.txt").write_text("\n".join(assoc))
+    (seq / "rgb.txt").write_text("\n".join(rgb_list))
+    (seq / "settings.yaml").write_text(SETTINGS)
+    return seq
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args):
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, env=env, cwd=REPO, timeout=600)
+
+
+class TestRgbdTumCLI:
+    def test_full_run(self, tum_dataset, tmp_path):
+        out = str(tmp_path) + "/"
+        r = run_cli([f"{REPO}/examples/rgbd_tum.py",
+                     str(tum_dataset / "settings.yaml"), str(tum_dataset),
+                     str(tum_dataset / "assoc.txt"), "--out-prefix", out])
+        assert r.returncode == 0, r.stderr[-800:]
+        traj = np.loadtxt(out + "CameraTrajectory.txt")
+        assert traj.shape[0] >= 4 and traj.shape[1] == 8
+        assert os.path.exists(out + "ExecMean.txt")
+
+    def test_evaluate_ate_cli(self, tum_dataset, tmp_path):
+        # self-comparison: ATE of a trajectory against itself is 0
+        out = str(tmp_path) + "/"
+        r = run_cli([f"{REPO}/examples/rgbd_tum.py",
+                     str(tum_dataset / "settings.yaml"), str(tum_dataset),
+                     str(tum_dataset / "assoc.txt"), "--out-prefix", out])
+        assert r.returncode == 0, r.stderr[-800:]
+        r2 = run_cli([f"{REPO}/examples/evaluate_ate.py",
+                      out + "CameraTrajectory.txt",
+                      out + "CameraTrajectory.txt"])
+        assert r2.returncode == 0, r2.stderr[-500:]
+        line = [l for l in r2.stdout.splitlines() if "rmse" in l][0]
+        assert float(line.split()[1]) < 1e-6
