@@ -74,9 +74,26 @@ def stereo_match_depth(xy_l, desc_l, valid_l, xy_r, desc_r, valid_r,
     return jnp.where(keep, depth, jnp.inf)
 
 
+def stereo_match_depth_lightglue(matcher, xy_l, desc_l, valid_l, xy_r,
+                                 desc_r, valid_r, fx, baseline,
+                                 y_band: float = 4.0):
+    """Stereo depth via the learned LightGlue matcher (the reference's
+    actual ComputeStereoMatches path, src/Frame.cc:813-915), with the same
+    rectified-geometry gates as the descriptor-NN variant."""
+    from dani_slam_tpu.models import lightglue as lg
+
+    idx, score, ok = lg.match(matcher, xy_l, desc_l, valid_l, xy_r, desc_r,
+                              valid_r)
+    disp = xy_l[:, 0] - xy_r[idx, 0]
+    band = jnp.abs(xy_l[:, 1] - xy_r[idx, 1]) <= y_band
+    keep = ok & band & (disp > 0.1)
+    return jnp.where(keep, fx * baseline / jnp.maximum(disp, 1e-6), jnp.inf)
+
+
 def build_frame_stereo(params, img_l, img_r, cam: _cam.Camera,
                        baseline: float, time: float, n_max: int = 1024,
-                       threshold: float = 0.007) -> FrameFeatures:
+                       threshold: float = 0.007,
+                       matcher=None) -> FrameFeatures:
     """Stereo frame: both images through SuperPoint as ONE batch of 2 (the
     reference forks two extraction threads, src/Frame.cc:125-128 — on TPU
     the batch dim does the same with zero orchestration), then rectified
@@ -87,9 +104,15 @@ def build_frame_stereo(params, img_l, img_r, cam: _cam.Camera,
     heat, dm = superpoint.SuperPoint().apply(params, g[..., None])
     out_l = frontend.extract(heat[0], dm[0], n_max=n_max, threshold=threshold)
     out_r = frontend.extract(heat[1], dm[1], n_max=n_max, threshold=threshold)
-    depth = stereo_match_depth(out_l["xy"], out_l["desc"], out_l["valid"],
-                               out_r["xy"], out_r["desc"], out_r["valid"],
-                               cam.params[0], baseline)
+    if matcher is not None:
+        depth = stereo_match_depth_lightglue(
+            matcher, out_l["xy"], out_l["desc"], out_l["valid"],
+            out_r["xy"], out_r["desc"], out_r["valid"], cam.params[0],
+            baseline)
+    else:
+        depth = stereo_match_depth(
+            out_l["xy"], out_l["desc"], out_l["valid"], out_r["xy"],
+            out_r["desc"], out_r["valid"], cam.params[0], baseline)
     xy = _cam.undistort_keypoints(cam, out_l["xy"])
     return FrameFeatures(xy=xy, desc=out_l["desc"], depth=depth,
                          valid=out_l["valid"],

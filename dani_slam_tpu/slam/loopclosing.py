@@ -231,6 +231,30 @@ def relocalize_against_kf(st: mstate.MapState, cam, kf: jax.Array,
     return res.R, res.t, bind, res.n_inliers, res.ok
 
 
+def relocalize_against_kf_lightglue(st: mstate.MapState, cam, kf: jax.Array,
+                                    feat_xy, feat_desc, feat_valid, key,
+                                    matcher):
+    """Relocalization matching via the learned LightGlue matcher instead of
+    mutual-NN (reference: Relocalization uses the LightGlue-BoW matcher,
+    src/Tracking.cc:3700; matcher = models/lightglue.MatcherState)."""
+    from dani_slam_tpu.models import lightglue as lg
+    from dani_slam_tpu.ops import pnp
+
+    obs = st.obs_lm[kf]
+    has = (obs >= 0) & st.kf_kp_mask[kf]
+    lm_ids = jnp.where(has, obs, 0)
+    idx, score, ok = lg.match(matcher, st.kf_kp[kf], st.lm_desc[lm_ids],
+                              has, feat_xy, feat_desc, feat_valid)
+    pts_w = st.lm_pos[lm_ids]
+    obs_xy = feat_xy[idx]
+    res = pnp.pnp_ransac(key, cam, pts_w, obs_xy, ok & has, min_inliers=25)
+    bind = jnp.full((feat_xy.shape[0],), -1, jnp.int32)
+    okrow = ok & res.inliers
+    bind = bind.at[jnp.where(okrow, idx, feat_xy.shape[0] - 1)].max(
+        jnp.where(okrow, lm_ids, -1))
+    return res.R, res.t, bind, res.n_inliers, res.ok
+
+
 class LoopCloser:
     """Host orchestration of place recognition + loop closing.
 

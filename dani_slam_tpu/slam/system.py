@@ -43,7 +43,7 @@ class System:
                  enable_mapping: bool = True, max_depth: float = 40.0,
                  local_ba_every: int = 1, enable_loop_closing: bool = True,
                  enable_relocalization: bool = True,
-                 pipelined: bool = False, detector=None):
+                 pipelined: bool = False, detector=None, matcher=None):
         self.cam = cam
         self.sensor = sensor
         self.caps = caps or mstate.MapCaps()
@@ -70,6 +70,10 @@ class System:
         # dynamic-object masking (reference: YOLO runs on the RGB-D path
         # only, src/Tracking.cc:1534-1546)
         self.detector = detector
+        # optional learned matcher (models/lightglue.MatcherState) — used by
+        # relocalization and stereo matching when supplied (reference wires
+        # LightGlue through those paths; default descriptor-NN otherwise)
+        self.matcher = matcher
         # multi-map Atlas (reference: src/Atlas.cc; new map on unrecoverable
         # loss, Tracking::CreateMapInAtlas src/Tracking.cc:2682)
         from dani_slam_tpu.slam.atlas import Atlas
@@ -313,9 +317,14 @@ class System:
             if not bool(keep[rank]):
                 continue
             self._reloc_key, sub = jax.random.split(self._reloc_key)
-            R, t, bind, n, ok = lc.relocalize_against_kf(
-                tracker.st, self.cam, idx[rank], feat.xy, feat.desc,
-                feat.valid, sub)
+            if self.matcher is not None:
+                R, t, bind, n, ok = lc.relocalize_against_kf_lightglue(
+                    tracker.st, self.cam, idx[rank], feat.xy, feat.desc,
+                    feat.valid, sub, self.matcher)
+            else:
+                R, t, bind, n, ok = lc.relocalize_against_kf(
+                    tracker.st, self.cam, idx[rank], feat.xy, feat.desc,
+                    feat.valid, sub)
             if bool(ok):
                 return R, t, bind
         return None

@@ -102,3 +102,64 @@ class TestTraining:
         pred = jnp.argmax(scores, axis=-1)
         acc = float((pred == perm).mean())
         assert acc > 0.9, f"matcher failed to learn: acc={acc}"
+
+
+class TestSlamIntegration:
+    def test_stereo_depth_via_lightglue(self):
+        """LightGlue-based stereo matching recovers metric depth once the
+        matcher can match (tiny model trained on the identity task)."""
+        import sys
+        sys.path.insert(0, "tests")
+        from dani_slam_tpu.slam import frame as frame_mod
+
+        # identical descriptors left/right, shifted x by true disparity
+        rng = np.random.RandomState(3)
+        n, d_in = 32, 16
+        desc = rng.randn(n, d_in).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        fx, baseline = 300.0, 0.1
+        depth_true = rng.uniform(2, 8, n).astype(np.float32)
+        disp = fx * baseline / depth_true
+        xy_r = rng.uniform(50, 250, (n, 2)).astype(np.float32)
+        xy_l = xy_r.copy()
+        xy_l[:, 0] += disp
+
+        # matcher sized so the test's pixel range normalizes into the
+        # [-1,1] coordinate distribution used during training
+        ms = lg.init_matcher(jax.random.PRNGKey(0), width=320, height=320,
+                             n=n, input_dim=d_in, dim=32, depth=2)
+        # brief training on the identity-matching task so scores are usable
+        model, params = ms.model, ms.params
+        m = jnp.ones((2, n), bool)
+        opt = optax.adam(3e-3)
+        ost = opt.init(params)
+        key = jax.random.PRNGKey(0)
+        @jax.jit
+        def step(params, ost, key):
+            k1, k2 = jax.random.split(key)
+            xy = jax.random.uniform(k1, (2, n, 2), minval=-1, maxval=1)
+            dd = jax.random.normal(k2, (2, n, d_in))
+            dd = dd / jnp.linalg.norm(dd, axis=-1, keepdims=True)
+            def loss_fn(p):
+                scores, _, _ = model.apply(p, xy, xy, dd, dd, m, m)
+                ll = jnp.take_along_axis(
+                    scores, jnp.arange(n)[None, :, None].repeat(2, 0),
+                    axis=-1)[..., 0]
+                return -jnp.mean(ll)
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, ost2 = opt.update(g, ost)
+            return optax.apply_updates(params, up), ost2, loss
+        for _ in range(80):
+            key, sub = jax.random.split(key)
+            params, ost, _ = step(params, ost, sub)
+        ms.params = params
+
+        depth = frame_mod.stereo_match_depth_lightglue(
+            ms, jnp.asarray(xy_l), jnp.asarray(desc), jnp.ones(n, bool),
+            jnp.asarray(xy_r), jnp.asarray(desc), jnp.ones(n, bool),
+            jnp.asarray(fx), jnp.asarray(baseline))
+        got = np.asarray(depth)
+        okm = np.isfinite(got)
+        assert okm.sum() > n * 0.7
+        rel = np.abs(got[okm] - depth_true[okm]) / depth_true[okm]
+        assert np.median(rel) < 0.05
