@@ -360,6 +360,17 @@ class System:
         with open(path, "w") as f:
             f.write("\n".join(rows) + "\n")
 
+    def activate_localization_mode(self):
+        """Track against the existing map without extending it (reference:
+        System::ActivateLocalizationMode src/System.cc:488 — stops
+        LocalMapping; here mapping steps are simply skipped)."""
+        self.enable_mapping = False
+
+    def deactivate_localization_mode(self):
+        """Resume full SLAM (reference: DeactivateLocalizationMode)."""
+        self.enable_mapping = True
+        self.tracker.pending_kf = None   # drop any stale pending keyframe
+
     def save_keyframe_trajectory_tum(self, path: str):
         """Keyframe poses only, TUM format (reference:
         SaveKeyFrameTrajectoryTUM src/System.cc:639)."""

@@ -150,3 +150,33 @@ class TestKeyFrameCulling:
         # rule (reference threshold) culls the clearly redundant ones
         assert sys.n_keyframes() <= 17, f"{sys.n_keyframes()} KFs kept"
         assert sys.tracker.state == "OK"
+
+
+class TestLocalizationMode:
+    def test_tracks_without_extending_map(self):
+        """Localization mode: pose tracking continues, the map is frozen
+        (reference: ActivateLocalizationMode src/System.cc:488)."""
+        world = synthetic.make_world(1500, desc_dim=64, seed=13)
+        R_gt, t_gt = synthetic.orbit_trajectory(30, radius=10.0,
+                                                angle_span=0.5)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512)
+        for i in range(12):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=512, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=i / 30.0)
+            sys.track_features(feat)
+        sys.activate_localization_mode()
+        kf_before = sys.n_keyframes()
+        lm_before = sys.n_landmarks()
+        ok = 0
+        for i in range(12, 30):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=512, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=i / 30.0)
+            s, _, _ = sys.track_features(feat)
+            ok += s == "OK"
+        assert sys.n_keyframes() == kf_before
+        assert sys.n_landmarks() == lm_before
+        assert ok >= 16
