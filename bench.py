@@ -46,6 +46,7 @@ def main():
     # timed pass on a fresh system (all programs cached)
     sys = System(cam, Sensor.RGBD, caps=caps, n_features=512,
                  pipelined=True)
+    sys.tracker.pipeline_depth = 3     # extra slack for transport jitter
     t0 = time.perf_counter()
     for i in range(n_frames):
         sys.track_features(feats[i])
