@@ -291,6 +291,42 @@ def cull_landmarks(st: MapState, kill: jax.Array) -> MapState:
         st, lm_mask=keep, obs_lm=jnp.where(dead_obs, -1, st.obs_lm))
 
 
+def replace_landmarks(st: MapState, kill: jax.Array, keep: jax.Array,
+                      valid: jax.Array) -> MapState:
+    """Merge duplicate landmarks: every observation of kill[i] is redirected
+    to keep[i], counters are combined, and kill[i] is removed (reference:
+    MapPoint::Replace src/MapPoint.cc — used by Fuse and the loop-closing
+    SearchAndFuse, src/LoopClosing.cc:2116).
+
+    kill/keep: [B] landmark ids; valid: [B] active pairs. Assumes each kill
+    id appears at most once (keep ids may repeat).
+    """
+    L = st.caps.L
+    kill_s = jnp.where(valid, kill, L - 1)
+    keep_s = jnp.where(valid, keep, L - 1)
+    redirect = jnp.arange(L, dtype=jnp.int32).at[kill_s].set(
+        jnp.where(valid, keep_s, kill_s).astype(jnp.int32))
+    obs_valid = st.obs_lm >= 0
+    new_obs = jnp.where(obs_valid,
+                        jnp.take(redirect, jnp.where(obs_valid, st.obs_lm,
+                                                     0)),
+                        st.obs_lm)
+    # combine counters onto the kept landmark
+    dn = jnp.zeros((L,), jnp.int32).at[keep_s].add(
+        jnp.where(valid, st.lm_n_obs[kill_s], 0))
+    df = jnp.zeros((L,), jnp.int32).at[keep_s].add(
+        jnp.where(valid, st.lm_found[kill_s], 0))
+    dv = jnp.zeros((L,), jnp.int32).at[keep_s].add(
+        jnp.where(valid, st.lm_visible[kill_s], 0))
+    kill_mask = jnp.zeros((L,), bool).at[kill_s].set(valid)
+    return dataclasses.replace(
+        st, obs_lm=new_obs,
+        lm_mask=st.lm_mask & ~kill_mask,
+        lm_n_obs=st.lm_n_obs + dn,
+        lm_found=st.lm_found + df,
+        lm_visible=st.lm_visible + dv)
+
+
 def cull_keyframe(st: MapState, k: jax.Array) -> MapState:
     """Remove keyframe k (reference: KeyFrame::SetBadFlag;
     LocalMapping::KeyFrameCulling src/LocalMapping.cc:904)."""

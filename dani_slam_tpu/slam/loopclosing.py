@@ -179,6 +179,49 @@ def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
                                loop_edges=loop_edges)
 
 
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def search_and_fuse(st: mstate.MapState, cam, kf_cur: jax.Array,
+                    kf_cand: jax.Array, n_neighbors: int = 4,
+                    radius: float = 4.0):
+    """After loop correction: project the current KF's landmarks into the
+    candidate side and merge duplicates (reference: SearchAndFuse
+    src/LoopClosing.cc:2116 — corrected map points replace their loop-side
+    twins; MapPoint::Replace keeps the better-observed one)."""
+    from dani_slam_tpu.ops import matching as m_ops
+
+    obs_cur = st.obs_lm[kf_cur]
+    has_cur = (obs_cur >= 0) & st.kf_kp_mask[kf_cur]
+    lm_ids = jnp.where(has_cur, obs_cur, 0)
+    neigh, w = mstate.best_covisible(st, kf_cand, n_neighbors - 1)
+
+    targets = jnp.concatenate([kf_cand[None], neigh])
+    target_ok = jnp.concatenate([jnp.ones(1, bool), w > 0])
+
+    for i in range(n_neighbors):
+        kc = targets[i]
+        ok_i = target_ok[i] & st.kf_mask[kc]
+        xy, vis, _, _ = m_ops.project_landmarks(
+            st.kf_R[kc], st.kf_t[kc], cam, st.lm_pos[lm_ids],
+            has_cur & ok_i & st.lm_mask[lm_ids])
+        m = m_ops.fuse_candidates(xy, vis, st.lm_desc[lm_ids],
+                                  st.kf_kp[kc], st.kf_kp_mask[kc],
+                                  st.kf_desc[kc], radius=radius)
+        tgt_lm = st.obs_lm[kc][m.idx]            # landmark at matched kp
+        same = tgt_lm == lm_ids
+        bound = (tgt_lm >= 0) & ~same & m.ok
+        free = (tgt_lm < 0) & m.ok
+        # duplicates: keep the better-observed landmark
+        n_cur = st.lm_n_obs[lm_ids]
+        n_tgt = jnp.where(bound, st.lm_n_obs[jnp.maximum(tgt_lm, 0)], 0)
+        keep = jnp.where(n_cur >= n_tgt, lm_ids, tgt_lm)
+        kill = jnp.where(n_cur >= n_tgt, tgt_lm, lm_ids)
+        st = mstate.replace_landmarks(st, jnp.maximum(kill, 0),
+                                      jnp.maximum(keep, 0), bound)
+        # unbound targets: new observation of the current landmark
+        st = mstate.add_observations(st, kc, m.idx, lm_ids, free)
+    return st
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10,
                              max_obs_kf: int = 64):
@@ -327,6 +370,8 @@ class LoopCloser:
 
         st = correct_loop(st, self.cam, jnp.asarray(kf), jnp.asarray(best),
                           T12, fix_scale=self.fix_scale)
+        st = search_and_fuse(st, self.cam, jnp.asarray(kf),
+                             jnp.asarray(best))
         if self.run_gba:
             st = global_bundle_adjustment(st, self.cam)
         self.last_loop_kf = kf_count

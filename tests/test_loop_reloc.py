@@ -154,3 +154,27 @@ class TestLoopClosing:
         assert last_after < last_before * 0.15, (
             f"loop end not closed: {last_before=:.3f} {last_after=:.3f}")
         assert after < before * 0.65, f"{before=:.3f} {after=:.3f}"
+
+
+class TestSearchAndFuse:
+    def test_duplicates_merged(self):
+        """Two copies of the same physical landmarks (as after a loop):
+        search_and_fuse must merge them, redirecting observations to the
+        better-observed twin (reference: SearchAndFuse + MapPoint::Replace)."""
+        from dani_slam_tpu.slam import loopclosing as lc
+        from dani_slam_tpu.core import state as mstate_mod
+        st, kf_ids, (R_gt, t_gt), world = \
+            TestLoopClosing()._drifted_loop_state(drift=0.0)
+        cur = jnp.asarray(kf_ids[-1])
+        cand = jnp.asarray(kf_ids[0])
+        # with zero drift the loop-gap duplicates project exactly onto each
+        # other, so fusion should find merges
+        n_before = int(st.lm_mask.sum())
+        st2 = lc.search_and_fuse(st, CAM, cur, cand)
+        n_after = int(st2.lm_mask.sum())
+        assert n_after < n_before, "no duplicates merged"
+        # no dangling observations: every obs id points at a live landmark
+        obs = np.asarray(st2.obs_lm)
+        alive = np.asarray(st2.lm_mask)
+        used = obs[obs >= 0]
+        assert alive[used].all()
