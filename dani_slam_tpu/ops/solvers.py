@@ -159,6 +159,110 @@ def pose_optimize(R0, t0, cam, pts_w, obs_xy, mask,
 
 
 # ---------------------------------------------------------------------------
+# Visual-inertial motion-only optimization
+# (reference: Optimizer::PoseInertialOptimizationLastKeyFrame
+#  src/Optimizer.cc:4491 / ...LastFrame:4875 — optimize the current frame's
+#  15-DoF state [pose, velocity, biases] against reprojection edges plus the
+#  preintegration edge to the previous (fixed) state and bias random-walk.)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("iters", "use_depth"))
+def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
+                           R_prev, t_prev, v_prev, bg_prev, ba_prev,
+                           preint, calib, cam, pts_w, obs_xy, mask,
+                           obs_depth=None, use_depth: bool = False,
+                           iters: int = 12):
+    """Joint 15-DoF solve of the CURRENT frame state; the previous state is
+    the fixed anchor (the reference's marginalized prior is approximated by
+    anchoring the previous state, whose uncertainty the preintegration edge
+    information already reflects). Returns (R, t, v, bg, ba, inliers,
+    n_inliers)."""
+    from dani_slam_tpu.ops import imu as imu_ops
+
+    delta = jnp.sqrt(CHI2_STEREO if use_depth else CHI2_MONO)
+    chi2_th = CHI2_STEREO if use_depth else CHI2_MONO
+
+    covs = preint.cov[jnp.arange(9), jnp.arange(9)]
+    info9 = jnp.clip(1.0 / jnp.maximum(covs, 1e-8), 0.0, 1e6)
+    dtp = jnp.maximum(preint.dt, 1e-3)
+    info15 = jnp.concatenate([
+        info9,
+        jnp.full((3,), 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dtp, 1e-12)),
+        jnp.full((3,), 1.0 / jnp.maximum(calib.walk_acc ** 2 * dtp, 1e-12))])
+    info15 = jnp.clip(info15, 0.0, 1e6)
+
+    def imu_res(dx, R, t, v, bg, ba_):
+        dR, dt_ = lie.se3_exp(dx[:6])
+        R2 = dR @ R
+        t2 = dR @ t + dt_
+        v2 = v + dx[6:9]
+        bg2 = bg + dx[9:12]
+        ba2 = ba_ + dx[12:15]
+        Rw = R2.T
+        pw = -Rw @ t2
+        Rw_p = R_prev.T
+        pw_p = -Rw_p @ t_prev
+        r9 = imu_ops.inertial_residual(preint, Rw_p, pw_p, v_prev, Rw, pw,
+                                       v2, bg_prev, ba_prev)
+        return jnp.concatenate([r9, bg2 - bg_prev, ba2 - ba_prev])
+
+    def vis_parts(R, t):
+        r, J = _residuals_jac(R, t, cam, pts_w, obs_xy)
+        c = jnp.sum(r * r, axis=-1)
+        if use_depth:
+            rd, Jd = _depth_residual(R, t, pts_w, obs_depth)
+            c = c + rd[:, 0] ** 2
+            return r, J, rd, Jd, c
+        return r, J, None, None, c
+
+    def total_cost(R, t, v, bg, ba_, inl):
+        *_, c = vis_parts(R, t)
+        sq = jnp.sqrt(jnp.maximum(c, 1e-12))
+        rho = jnp.where(sq <= delta, c, 2 * delta * sq - delta ** 2)
+        r15 = imu_res(jnp.zeros(15), R, t, v, bg, ba_)
+        return (jnp.sum(jnp.where(inl, rho, 0.0)) +
+                jnp.sum(r15 * r15 * info15))
+
+    def gn(_, carry):
+        R, t, v, bg, ba_, inl, lam = carry
+        r, J, rd, Jd, c = vis_parts(R, t)
+        w_rob = jnp.where(jnp.sqrt(jnp.maximum(c, 1e-12)) <= delta, 1.0,
+                          delta / jnp.sqrt(jnp.maximum(c, 1e-12)))
+        w = jnp.where(inl & mask, w_rob, 0.0)
+        H = jnp.zeros((15, 15))
+        g = jnp.zeros(15)
+        H = H.at[:6, :6].add(jnp.einsum('nik,n,nil->kl', J, w, J))
+        g = g.at[:6].add(jnp.einsum('nik,n,ni->k', J, w, r))
+        if use_depth:
+            H = H.at[:6, :6].add(jnp.einsum('nik,n,nil->kl', Jd, w, Jd))
+            g = g.at[:6].add(jnp.einsum('nik,n,ni->k', Jd, w, rd))
+        r15 = imu_res(jnp.zeros(15), R, t, v, bg, ba_)
+        J15 = jax.jacfwd(lambda dx: imu_res(dx, R, t, v, bg, ba_))(
+            jnp.zeros(15))
+        H = H + jnp.einsum('ki,k,kj->ij', J15, info15, J15)
+        g = g + jnp.einsum('ki,k,k->i', J15, info15, r15)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(15)
+        dx = -jnp.linalg.solve(Hd, g)
+        dR, dt_ = lie.se3_exp(dx[:6])
+        cand = (dR @ R, dR @ t + dt_, v + dx[6:9], bg + dx[9:12],
+                ba_ + dx[12:15])
+        better = total_cost(*cand, inl & mask) < total_cost(R, t, v, bg, ba_,
+                                                            inl & mask)
+        pick = lambda a, b: jnp.where(better, a, b)
+        out = tuple(pick(a, b) for a, b in zip(cand, (R, t, v, bg, ba_)))
+        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+        # chi2 reclassification each iteration (reference does it per round)
+        *_, c2 = vis_parts(out[0], out[1])
+        inl = mask & (c2 <= chi2_th)
+        return (*out, inl, lam)
+
+    carry = (R0, t0, v0, bg0, ba0, mask, jnp.asarray(1e-3))
+    R, t, v, bg, ba_, inl, _ = jax.lax.fori_loop(0, iters, gn, carry)
+    return (lie.orthonormalize(R), t, v, bg, ba_, inl,
+            jnp.sum(inl.astype(jnp.int32)))
+
+
+# ---------------------------------------------------------------------------
 # Horn alignment (closed-form absolute orientation) — used by Sim3Solver
 # RANSAC (src/Sim3Solver.cc:316-380) and by ATE evaluation.
 # ---------------------------------------------------------------------------

@@ -292,6 +292,27 @@ def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
     return R3, out3.t, out3.bindings, counts, out3.st
 
 
+@partial(jax.jit, static_argnames=("use_depth",))
+def vi_refine_step(st: mstate.MapState, cam, feat: FrameFeatures,
+                   bind: jax.Array, R, t, v, bg, ba,
+                   R_prev, t_prev, v_prev, preint, calib,
+                   use_depth: bool = False):
+    """Visual-inertial refinement of the tracked frame state (reference:
+    the tracking optimization IS PoseInertialOptimizationLastFrame once the
+    IMU is initialized, src/Tracking.cc:2992-3016; here it refines the
+    visual solution with the preintegration edge to the previous frame)."""
+    from dani_slam_tpu.ops import solvers as slv
+
+    has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
+    pts = st.lm_pos[jnp.where(has, bind, 0)]
+    R2, t2, v2, bg2, ba2, inl, n = slv.pose_inertial_optimize(
+        R, t, v, bg, ba, R_prev, t_prev, v_prev, bg, ba,
+        preint, calib, cam, pts, feat.xy, has,
+        obs_depth=feat.depth if use_depth else None, use_depth=use_depth,
+        iters=8)
+    return R2, t2, v2, bg2, ba2, n
+
+
 # ---------------------------------------------------------------------------
 # Host-side tracker
 # ---------------------------------------------------------------------------
@@ -470,6 +491,21 @@ class Tracker:
             self.st, self.cam, feat, self.last_bind, R_cur, t_cur, Rv, tv,
             self.ref_kf_dev, min_inliers=self.min_inliers_track,
             use_depth=self.use_depth, has_vel=has_vel)
+
+        # VI refinement: preintegration edge to the previous frame refines
+        # pose + velocity + biases (reference: tracking switches to
+        # PoseInertialOptimization* once the IMU is initialized)
+        if (self.inertial is not None and self.inertial.initialized and
+                self.inertial.last_preint is not None):
+            R_new, t_new, v2, bg2, ba2, n_vi = vi_refine_step(
+                st, self.cam, feat, bind, R_new, t_new, self.inertial.v_w,
+                self.inertial.bias_g, self.inertial.bias_a,
+                self.R, self.t, self.inertial.v_w,
+                self.inertial.last_preint, self.inertial.calib,
+                use_depth=self.use_depth)
+            self.inertial.v_w = v2
+            self.inertial.bias_g = bg2
+            self.inertial.bias_a = ba2
 
         if self.pipelined:
             # Deferred decisions: update state optimistically from device

@@ -137,3 +137,48 @@ class TestVIBA:
             jnp.zeros(3), jnp.zeros(3), R_t[1], t_t[1], v_t[1],
             jnp.zeros(3), jnp.zeros(3), pre0)
         assert float(jnp.abs(r).max()) < 0.05
+
+
+class TestPoseInertialOptimize:
+    def test_vi_motion_only_recovery(self):
+        """Current-frame 15-DoF solve: visual edges + inertial edge to a
+        fixed previous state must recover pose AND velocity (reference:
+        PoseInertialOptimizationLastKeyFrame, src/Optimizer.cc:4491)."""
+        from dani_slam_tpu.ops import solvers
+        p = make_vi_problem(P=2, L=200, noise_px=0.3)
+        R_t, t_t, v_t, pts = p["truth"]
+        pre = jax.tree_util.tree_map(lambda a: a[0], p["preints"])
+        rng = np.random.RandomState(1)
+        # start from a perturbed current state
+        dxi = jnp.asarray(rng.randn(6) * 0.03, jnp.float32)
+        dR, dt = lie.se3_exp(dxi)
+        R0 = dR @ R_t[1]
+        t0 = dR @ t_t[1] + dt
+        v0 = v_t[1] + jnp.asarray(rng.randn(3) * 0.2, jnp.float32)
+        out = solvers.pose_inertial_optimize(
+            R0, t0, v0, jnp.zeros(3), jnp.zeros(3),
+            R_t[0], t_t[0], v_t[0], jnp.zeros(3), jnp.zeros(3),
+            pre, CAL, CAM, pts, p["obs_xy"][1], p["obs_valid"][1])
+        R, t, v, bg, ba, inl, n = out
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_t[1]),
+                                   atol=0.01)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_t[1]),
+                                   atol=0.1)
+        assert int(n) > 150
+
+    def test_inertial_edge_constrains_without_vision(self):
+        """With NO visual matches the inertial chain alone must keep the
+        state at the IMU prediction (not NaN, not drifting)."""
+        from dani_slam_tpu.ops import solvers
+        p = make_vi_problem(P=2, L=50)
+        R_t, t_t, v_t, pts = p["truth"]
+        pre = jax.tree_util.tree_map(lambda a: a[0], p["preints"])
+        out = solvers.pose_inertial_optimize(
+            R_t[1], t_t[1], v_t[1], jnp.zeros(3), jnp.zeros(3),
+            R_t[0], t_t[0], v_t[0], jnp.zeros(3), jnp.zeros(3),
+            pre, CAL, CAM, pts, p["obs_xy"][1],
+            jnp.zeros_like(p["obs_valid"][1]))
+        R, t, v, bg, ba, inl, n = out
+        assert np.isfinite(np.asarray(t)).all()
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_t[1]),
+                                   atol=0.05)
