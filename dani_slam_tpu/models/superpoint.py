@@ -104,6 +104,24 @@ def load_magicleap_pt(path: str) -> Any:
     return {"params": params}
 
 
+def load_default_params() -> Any:
+    """Load the shipped synthetic-corner-trained weights if present
+    (dani_slam_tpu/weights/superpoint_synthetic.npz, produced by
+    models/superpoint_train.py), else None. The authors' fine-tuned
+    checkpoint is not public (reference loads it from a hard-coded external
+    path, src/SPextractor.cpp:86); these weights make the image pipeline
+    functional out of the box, and load_magicleap_pt converts the public
+    checkpoint when available."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "superpoint_synthetic.npz")
+    if not os.path.exists(path):
+        return None
+    from dani_slam_tpu.models.superpoint_train import load_params
+    return load_params(path)
+
+
 def apply(params: Any, gray: jax.Array):
     """Convenience single-image forward: gray (H,W) [0,1] -> (heat (H,W),
     desc (H/8,W/8,256))."""

@@ -409,5 +409,7 @@ class System:
         if self.sp_params is None:
             import jax
             from dani_slam_tpu.models import superpoint
-            self.sp_params = superpoint.init_params(jax.random.PRNGKey(0))
+            self.sp_params = superpoint.load_default_params()
+            if self.sp_params is None:     # no shipped weights: random init
+                self.sp_params = superpoint.init_params(jax.random.PRNGKey(0))
         return self.sp_params
