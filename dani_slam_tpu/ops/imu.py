@@ -184,7 +184,8 @@ def inertial_residual(p: Preintegrated, R1, t1, v1, R2, t2, v2,
 @partial(jax.jit, static_argnames=("iters", "optimize_scale"))
 def inertial_init(R_wb: jax.Array, t_wb: jax.Array, dts: jax.Array,
                   preints: Preintegrated, iters: int = 30,
-                  optimize_scale: bool = True):
+                  optimize_scale: bool = True,
+                  prior_gyro: float = 1e2, prior_acc: float = 1e2):
     """Estimate gravity direction, velocities, common bias and scale from a
     chain of keyframe poses + preintegrations (vmapped Preintegrated with
     leading dim K-1). Gauss-Newton on [s, theta_g(2), bg(3), ba(3), v(3K)].
@@ -218,7 +219,16 @@ def inertial_init(R_wb: jax.Array, t_wb: jax.Array, dts: jax.Array,
             ep = R1.T @ (s * (t_wb[i + 1] - t_wb[i]) - v[i] * dt
                          - 0.5 * g * dt * dt) - dP
             return jnp.concatenate([er, ev, ep])
-        return jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
+        chain = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
+        # strong bias priors pin the scale/bias degeneracy: when the
+        # camera faces its motion center, the body-frame specific-force
+        # direction is near-constant and an accelerometer bias can mimic a
+        # map-scale change exactly (reference: EdgePriorGyro/EdgePriorAcc
+        # with staged weights in InertialOptimization/FullInertialBA,
+        # src/LocalMapping.cc:183-233, src/Optimizer.cc:392)
+        prior = jnp.concatenate([jnp.sqrt(prior_gyro) * bg,
+                                 jnp.sqrt(prior_acc) * ba])
+        return jnp.concatenate([chain, prior])
 
     x0 = jnp.zeros(9 + 3 * K)
 

@@ -171,7 +171,7 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
                            R_prev, t_prev, v_prev, bg_prev, ba_prev,
                            preint, calib, cam, pts_w, obs_xy, mask,
                            obs_depth=None, use_depth: bool = False,
-                           iters: int = 12):
+                           iters: int = 12, info_cap: float = 1e6):
     """Joint 15-DoF solve of the CURRENT frame state; the previous state is
     the fixed anchor (the reference's marginalized prior is approximated by
     anchoring the previous state, whose uncertainty the preintegration edge
@@ -182,14 +182,18 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
     delta = jnp.sqrt(CHI2_STEREO if use_depth else CHI2_MONO)
     chi2_th = CHI2_STEREO if use_depth else CHI2_MONO
 
+    # info_cap reflects the ANCHOR's uncertainty: the previous state is an
+    # estimate, not ground truth (the reference propagates a marginalized
+    # prior; anchoring with the raw preintegration information over-trusts
+    # the chain and lets velocity noise drag the pose)
     covs = preint.cov[jnp.arange(9), jnp.arange(9)]
-    info9 = jnp.clip(1.0 / jnp.maximum(covs, 1e-8), 0.0, 1e6)
+    info9 = jnp.clip(1.0 / jnp.maximum(covs, 1e-8), 0.0, info_cap)
     dtp = jnp.maximum(preint.dt, 1e-3)
     info15 = jnp.concatenate([
         info9,
         jnp.full((3,), 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dtp, 1e-12)),
         jnp.full((3,), 1.0 / jnp.maximum(calib.walk_acc ** 2 * dtp, 1e-12))])
-    info15 = jnp.clip(info15, 0.0, 1e6)
+    info15 = jnp.clip(info15, 0.0, info_cap)
 
     def imu_res(dx, R, t, v, bg, ba_):
         dR, dt_ = lie.se3_exp(dx[:6])

@@ -133,7 +133,9 @@ def initialize_imu(st: mstate.MapState, inertial: InertialState,
     out = imu_ops.inertial_init(R_wb, t_wb, None, stacked,
                                 optimize_scale=mono_scale_free)
     s = float(out["scale"])
-    if not (0.1 < s < 10.0) or not np.isfinite(s):
+    # mono maps are normalized to median depth 1, so the metric scale can
+    # legitimately be 10x+; only reject clearly broken solves
+    if not (0.02 < s < 100.0) or not np.isfinite(s):
         return st, False
 
     # rotate the world so estimated gravity aligns with (0,0,-9.81)
@@ -152,6 +154,8 @@ def initialize_imu(st: mstate.MapState, inertial: InertialState,
     inertial.initialized = True
     inertial.bias_g = out["bias_g"]
     inertial.bias_a = out["bias_a"]
-    # velocity of the newest keyframe, rotated into the aligned world
-    inertial.v_w = s * (Rg @ out["velocities"][-1])
+    # velocity of the newest keyframe rotated into the aligned world — the
+    # optimizer's velocities are ALREADY metric (the ev equations are tied
+    # to the metric preintegration), so only the gravity rotation applies
+    inertial.v_w = Rg @ out["velocities"][-1]
     return st2, True

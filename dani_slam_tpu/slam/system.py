@@ -148,6 +148,10 @@ class System:
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.last_loop_kf = -10 ** 9
         self._kf_count = 0
+        if self.use_imu:
+            self._kf_window_marks = []
+            self._recent_kfs = []
+            self._recent_preints = []
 
     # -- mapping (keyframe-rate) -----------------------------------------
 
@@ -201,6 +205,44 @@ class System:
             self._recent_kfs.pop(0)
             self._recent_preints.pop(0)
 
+    def _refine_imu_scale(self):
+        """Re-estimate scale/gravity over the recent keyframe chain and
+        re-apply to the map (mono scale drift correction)."""
+        from dani_slam_tpu.slam import inertial as inert
+        tr = self.tracker
+        # use the RECORDED (slot, preintegration) chain, and only its
+        # CONTIGUOUS trailing run of still-alive keyframes — dropping a
+        # culled middle member would pair preintegrations with the wrong
+        # keyframe spans
+        chain = []
+        for k, p in zip(reversed(self._recent_kfs),
+                        reversed(self._recent_preints)):
+            if not bool(tr.st.kf_mask[k]) or (chain and p is None):
+                break
+            chain.append((k, p))
+            if len(chain) > self.vi_window:
+                break
+        chain.reverse()
+        if len(chain) < 4:
+            return
+        kf_ids = [k for k, _ in chain]
+        preints = [p for _, p in chain][1:]
+        if any(p is None for p in preints):
+            return
+        was_init = tr.inertial.initialized
+        st2, ok = inert.initialize_imu(tr.st, tr.inertial, kf_ids, preints,
+                                       mono_scale_free=True)
+        if ok:
+            tr.st = st2
+            Rg, s_scl = tr.inertial.last_alignment
+            for attr_R, attr_t in (("R", "t"), ("R_last", "t_last")):
+                setattr(tr, attr_R, getattr(tr, attr_R) @ Rg.T)
+                setattr(tr, attr_t, s_scl * getattr(tr, attr_t))
+            if tr.vel is not None:
+                Rv, tv = tr.vel
+                tr.vel = (Rv, s_scl * tv)
+        tr.inertial.initialized = was_init or ok
+
     def _run_local_inertial_ba(self):
         """Temporal-window VI BA (reference: LocalInertialBA replaces the
         visual local BA once the IMU is initialized,
@@ -231,11 +273,19 @@ class System:
 
     def _maybe_initialize_imu(self):
         """Run gravity/scale init once enough keyframes + time accumulated
-        (reference: IMU init trigger, src/LocalMapping.cc:183-189)."""
+        (reference: IMU init trigger, src/LocalMapping.cc:183-189), then a
+        periodic scale refinement for monocular maps (reference:
+        ScaleRefinement at 25/35s, src/LocalMapping.cc:236-248 — mono
+        triangulation drifts the metric scale between inertial solves)."""
         from dani_slam_tpu.slam import inertial as inert
         tr = self.tracker
         self._kf_window_marks.append(len(tr.inertial.frame_windows))
-        if tr.inertial.initialized or len(self._kf_window_marks) < 5:
+        if tr.inertial.initialized:
+            if (tr.sensor == "mono" and
+                    len(self._kf_window_marks) % 6 == 0):
+                self._refine_imu_scale()
+            return
+        if len(self._kf_window_marks) < 5:
             return
         marks = self._kf_window_marks
         bounds = list(zip(marks[:-1], marks[1:]))

@@ -309,7 +309,7 @@ def vi_refine_step(st: mstate.MapState, cam, feat: FrameFeatures,
         R, t, v, bg, ba, R_prev, t_prev, v_prev, bg, ba,
         preint, calib, cam, pts, feat.xy, has,
         obs_depth=feat.depth if use_depth else None, use_depth=use_depth,
-        iters=8)
+        iters=8, info_cap=1e3)
     return R2, t2, v2, bg2, ba2, n
 
 
@@ -350,6 +350,12 @@ class Tracker:
         self.reset()
 
     def reset(self):
+        # preserve System-installed hooks/config across map resets
+        # (reference: CreateMapInAtlas keeps the Tracking object alive;
+        # only the map and per-map state restart, src/Tracking.cc:2682)
+        prev_inertial = getattr(self, "inertial", None)
+        prev_reloc = getattr(self, "reloc_fn", None)
+        prev_pipelined = getattr(self, "pipelined", None)
         self.st = mstate.empty_map(self.caps)
         self.state = NOT_INITIALIZED
         self.frame_id = 0
@@ -367,7 +373,6 @@ class Tracker:
         # (remote) transport every frame
         self.ref_kf_tracked = 0
         self.pending_kf = None
-        self.reloc_fn = None     # System installs the relocalizer
         self.last_kf_frame = -999
         self.frames_lost = 0
         self.new_kf: Optional[int] = None   # set when a KF was inserted
@@ -376,7 +381,13 @@ class Tracker:
         self._pending = []       # deferred decisions (pipelined mode)
         self.pipeline_depth = 2  # frames in flight before resolving
         self.dynamic_ratio = None  # device scalar set by System (YOLO)
-        self.inertial = None       # InertialState for IMU_* sensors
+        # fresh inertial state (same calibration) if one was installed
+        if prev_inertial is not None:
+            from dani_slam_tpu.slam.inertial import InertialState
+            self.inertial = InertialState(prev_inertial.calib)
+        else:
+            self.inertial = None
+        self.reloc_fn = prev_reloc
         self.last_time = None
 
     def flush(self):
@@ -506,6 +517,7 @@ class Tracker:
             self.inertial.v_w = v2
             self.inertial.bias_g = bg2
             self.inertial.bias_a = ba2
+            self._vi_refined = True
 
         if self.pipelined:
             # Deferred decisions: update state optimistically from device
@@ -542,12 +554,16 @@ class Tracker:
         # feeds back through the velocity chain and grows exponentially
         Ri, ti = lie.se3_inv(self.R_last, self.t_last)
         self.vel = lie.se3_mul(R_new, t_new, Ri, ti)
-        # world-frame velocity for the inertial pipeline
-        if self.inertial is not None and self.last_time is not None:
+        # world-frame velocity for the inertial pipeline: finite-difference
+        # fallback ONLY when the VI refinement didn't already produce a
+        # better (optimized) velocity this frame
+        if self.inertial is not None and self.last_time is not None and \
+                not getattr(self, "_vi_refined", False):
             dt = jnp.maximum(feat.time - self.last_time, 1e-3)
             p_new = -jnp.einsum('ji,j->i', R_new, t_new)
             p_old = -jnp.einsum('ji,j->i', self.R_last, self.t_last)
             self.inertial.v_w = (p_new - p_old) / dt
+        self._vi_refined = False
         self.last_time = feat.time
         self.R_last, self.t_last = R_new, t_new
         self.R, self.t = R_new, t_new
