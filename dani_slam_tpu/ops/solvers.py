@@ -206,8 +206,14 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
         pw = -Rw @ t2
         Rw_p = R_prev.T
         pw_p = -Rw_p @ t_prev
+        # the preintegration residual is evaluated at the OPTIMIZED bias
+        # (bg2/ba2) via the stored first-order bias Jacobians, so the bias
+        # sub-block has real gradient from the IMU chain (the reference gets
+        # this by optimizing the window-start bias in
+        # PoseInertialOptimizationLastFrame, src/Optimizer.cc:4875); the
+        # random-walk rows still pull toward the previous estimate.
         r9 = imu_ops.inertial_residual(preint, Rw_p, pw_p, v_prev, Rw, pw,
-                                       v2, bg_prev, ba_prev)
+                                       v2, bg2, ba2)
         return jnp.concatenate([r9, bg2 - bg_prev, ba2 - ba_prev])
 
     def vis_parts(R, t):

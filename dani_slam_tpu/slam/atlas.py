@@ -134,11 +134,13 @@ def merge_into(target: mstate.MapState, source: mstate.MapState):
                       source.lm_mask),
         lm_visible=scat(target.lm_visible, source.lm_visible, dst_lm,
                         source.lm_mask),
+        # lm_first_kf is the monotone creation COUNTER (not a slot): shift
+        # source counters past the target's so the merged counter timeline
+        # (target + source, below) keeps relative ages consistent
         lm_first_kf=scat(target.lm_first_kf,
                          jnp.where(source.lm_first_kf >= 0,
-                                   jnp.take(kf_map,
-                                            jnp.clip(source.lm_first_kf, 0,
-                                                     K - 1)), -1),
+                                   source.lm_first_kf +
+                                   target.next_kf_counter, -1),
                          dst_lm, source.lm_mask),
         # covisibility: scatter the source block; cross-map links grow later
         # through fuse (reference: merge runs SearchAndFuse + rebuilds links)

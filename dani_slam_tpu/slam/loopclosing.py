@@ -223,11 +223,13 @@ def search_and_fuse(st: mstate.MapState, cam, kf_cur: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10,
-                             max_obs_kf: int = 64):
+def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10):
     """Full-map BA (reference: RunGlobalBundleAdjustment
     src/LoopClosing.cc:2269 -> Optimizer::BundleAdjustment:60, 10 iters).
-    Optimizes all keyframes (first fixed) + all landmarks."""
+    Optimizes all keyframes (first fixed) + all landmarks. Uses the
+    Schur-free PCG solver (ops/ba_large.py): the explicit-Schur local solver
+    cannot allocate its one-hot/H_pl tensors at whole-map capacities."""
+    from dani_slam_tpu.ops import ba_large
     K, N = st.obs_lm.shape
     first = jnp.argmax(st.kf_mask)          # lowest occupied slot
     pose_fixed = (~st.kf_mask) | (jnp.arange(K) == first)
@@ -235,9 +237,10 @@ def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10,
     olm = st.obs_lm.reshape(-1)
     oxy = st.kf_kp.reshape(-1, 2)
     ovalid = (olm >= 0) & st.kf_kp_mask.reshape(-1)
-    res = ba_ops.ba_solve(st.kf_R, st.kf_t, pose_fixed, st.lm_pos,
-                          st.lm_mask, cam, okf, jnp.where(ovalid, olm, 0),
-                          oxy, ovalid, iters=iters)
+    res = ba_large.ba_solve_pcg(st.kf_R, st.kf_t, pose_fixed, st.lm_pos,
+                                st.lm_mask, cam, okf,
+                                jnp.where(ovalid, olm, 0),
+                                oxy, ovalid, iters=iters)
     return dataclasses.replace(
         st, kf_R=jnp.where(st.kf_mask[:, None, None], res.R, st.kf_R),
         kf_t=jnp.where(st.kf_mask[:, None], res.t, st.kf_t),
@@ -321,10 +324,13 @@ class LoopCloser:
         self.fix_scale = fix_scale
         self.last_loop_kf = -10 ** 9
         self.n_loops = 0
+        # when False this object only maintains the BoW database (for
+        # relocalization); loop detection/correction is skipped
+        self.detect_loops = True
         # temporal consistency (reference: a loop hypothesis must persist
         # over consecutive keyframes before correction —
         # mnLoopNumCoincidences >= 3, src/LoopClosing.cc:376-430)
-        self.consistency_needed = 2
+        self.consistency_needed = 3
         self._streak_cand = -1
         self._streak = 0
 
@@ -337,6 +343,8 @@ class LoopCloser:
         self.bow = self.bow.at[kf].set(
             vocab.bow_vector(w, self.codebook.shape[0]))
 
+        if not self.detect_loops:
+            return st
         if kf_count is None:
             kf_count = int(st.next_kf_counter)
         if kf_count < 12 or kf_count - self.last_loop_kf < self.min_kf_gap:

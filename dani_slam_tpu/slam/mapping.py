@@ -95,10 +95,13 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
         dist = jnp.linalg.norm(vnorm, axis=-1).clip(1e-9)
         normal = vnorm / dist[:, None]
 
+        # lm_first_kf records the MONOTONE keyframe counter (not the slot:
+        # slots are reused after culling, which silently corrupts the
+        # recency gate in cull_bad_landmarks)
         st, slots = mstate.insert_landmarks(
             st, Xw, d1, normal, dist * 0.8, dist * 1.3,
             jnp.full((kp1.shape[0],), kf_new, jnp.int32),
-            jnp.full((kp1.shape[0],), kf_new, jnp.int32), good)
+            jnp.broadcast_to(st.next_kf_counter, (kp1.shape[0],)), good)
         # bind observations in both keyframes
         arange = jnp.arange(kp1.shape[0], dtype=jnp.int32)
         bound = good & (slots >= 0)
@@ -129,7 +132,7 @@ def create_depth_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
         st, Xw, st.kf_desc[kf_new], vnorm / dist[:, None],
         dist * 0.8, dist * 1.3,
         jnp.full((kp.shape[0],), kf_new, jnp.int32),
-        jnp.full((kp.shape[0],), kf_new, jnp.int32), good)
+        jnp.broadcast_to(st.next_kf_counter, (kp.shape[0],)), good)
     arange = jnp.arange(kp.shape[0], dtype=jnp.int32)
     st = mstate.add_observations(st, kf_new, arange, slots,
                                  good & (slots >= 0))
@@ -347,11 +350,14 @@ def cull_bad_landmarks(st: mstate.MapState, current_kf_counter: jax.Array,
     still < 2 observations several keyframes after creation (mono rule)."""
     ratio = st.lm_found.astype(jnp.float32) / jnp.maximum(
         st.lm_visible.astype(jnp.float32), 1.0)
+    # lm_first_kf holds the monotone keyframe COUNTER at creation (never
+    # reused, unlike slots), so ages stay correct across KF culling.
     age = current_kf_counter - st.lm_first_kf
     # Only RECENT landmarks are candidates (the reference walks
     # mlpRecentAddedMapPoints and drops a point from the list — i.e. it
-    # graduates permanently — after ~3 keyframes).
-    recent = (age <= 3) & (st.lm_first_kf > 0)   # init-map points exempt
+    # graduates permanently — after ~3 keyframes). Counter 0 marks
+    # init-map points (created before the first keyframe), exempt.
+    recent = (age <= 3) & (st.lm_first_kf > 0)
     kill = st.lm_mask & recent & ((ratio < min_found_ratio) |
                                   ((age >= 2) & (st.lm_n_obs < 2)))
     return mstate.cull_landmarks(st, kill)

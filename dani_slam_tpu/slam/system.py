@@ -59,11 +59,16 @@ class System:
         self.local_ba_every = local_ba_every
         self._kf_count = 0
         self.loop_closer = None
-        if enable_loop_closing:
+        # the LoopCloser owns the place-recognition database, which
+        # relocalization also needs — create it for either feature and gate
+        # loop DETECTION separately (round-1 review: reloc with loop closing
+        # disabled was silently a no-op)
+        if enable_loop_closing or enable_relocalization:
             from dani_slam_tpu.slam.loopclosing import LoopCloser
             self.loop_closer = LoopCloser(
                 cam, self.caps, seed=seed,
                 fix_scale=mode in ("rgbd", "stereo"))
+            self.loop_closer.detect_loops = enable_loop_closing
         if enable_relocalization:
             self.tracker.reloc_fn = self._relocalize
         self._reloc_key = jax.random.PRNGKey(seed + 1)
@@ -164,13 +169,14 @@ class System:
         feat, bind, R_kf, t_kf = tr.pending_kf
         tr.pending_kf = None
         self._kf_count += 1
+        fid = tr.frame_id - 1
         imu_ready = (self.use_imu and self.tracker.inertial is not None
                      and self.tracker.inertial.initialized)
         do_ba = (self._kf_count % self.local_ba_every == 0
                  and self._kf_count > 1 and not imu_ready)
         st, k, n_tracked = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
-            bind, R_kf, t_kf, feat.time, jnp.asarray(tr.frame_id - 1),
+            bind, R_kf, t_kf, feat.time, jnp.asarray(fid),
             use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
             max_depth=self.max_depth)
         tr.st = st
@@ -184,6 +190,12 @@ class System:
         if self.atlas.n_maps() > 0:
             self._try_map_merge()
         if self.use_imu:
+            # record (slot, frame_id, frame-window index) at insertion time:
+            # the frame id disambiguates reused slots, the window index
+            # aligns preintegration spans with THIS keyframe chain (round-1
+            # advisor: occupied-slot order drifts once any KF is culled)
+            self._kf_window_marks.append(
+                (tr.ref_kf, fid, len(tr.inertial.frame_windows)))
             self._maybe_initialize_imu()
             self._record_kf_preint()
             if self.tracker.inertial.initialized:
@@ -195,11 +207,11 @@ class System:
         tr = self.tracker
         marks = self._kf_window_marks
         if len(marks) >= 2:
-            bounds = [(marks[-2], marks[-1])]
+            bounds = [(marks[-2][2], marks[-1][2])]
             pre = tr.inertial.kf_chain_preintegrations(bounds)[0]
         else:
             pre = None
-        self._recent_kfs.append(tr.ref_kf)
+        self._recent_kfs.append((marks[-1][0], marks[-1][1]))
         self._recent_preints.append(pre)
         if len(self._recent_kfs) > self.vi_window:
             self._recent_kfs.pop(0)
@@ -213,11 +225,14 @@ class System:
         # use the RECORDED (slot, preintegration) chain, and only its
         # CONTIGUOUS trailing run of still-alive keyframes — dropping a
         # culled middle member would pair preintegrations with the wrong
-        # keyframe spans
+        # keyframe spans. A slot counts as alive only if it still holds the
+        # SAME keyframe (frame id match — slots are reused after culling).
+        kf_mask = np.asarray(tr.st.kf_mask)
+        kf_fid = np.asarray(tr.st.kf_frame_id)
         chain = []
-        for k, p in zip(reversed(self._recent_kfs),
-                        reversed(self._recent_preints)):
-            if not bool(tr.st.kf_mask[k]) or (chain and p is None):
+        for (k, fid), p in zip(reversed(self._recent_kfs),
+                               reversed(self._recent_preints)):
+            if not (kf_mask[k] and kf_fid[k] == fid) or (chain and p is None):
                 break
             chain.append((k, p))
             if len(chain) > self.vi_window:
@@ -251,7 +266,7 @@ class System:
         import jax.tree_util as jtu
         tr = self.tracker
         P = self.vi_window
-        slots = self._recent_kfs[-P:]
+        slots = [k for k, _fid in self._recent_kfs[-P:]]
         pres = self._recent_preints[-P:]
         if len(slots) < 3:
             return
@@ -279,7 +294,6 @@ class System:
         triangulation drifts the metric scale between inertial solves)."""
         from dani_slam_tpu.slam import inertial as inert
         tr = self.tracker
-        self._kf_window_marks.append(len(tr.inertial.frame_windows))
         if tr.inertial.initialized:
             if (tr.sensor == "mono" and
                     len(self._kf_window_marks) % 6 == 0):
@@ -287,11 +301,25 @@ class System:
             return
         if len(self._kf_window_marks) < 5:
             return
-        marks = self._kf_window_marks
-        bounds = list(zip(marks[:-1], marks[1:]))
+        # trailing contiguous run of marks whose keyframes are still alive:
+        # slot occupied AND holding the same frame id (slots are reused, so
+        # a mask check alone can pair a preintegration with a different
+        # keyframe). Within the run, kf slots and window bounds stay aligned
+        # by construction: len(kf_ids) == len(preints) + 1.
+        kf_mask = np.asarray(tr.st.kf_mask)
+        kf_fid = np.asarray(tr.st.kf_frame_id)
+        run = []
+        for slot, fid, mark in reversed(self._kf_window_marks):
+            if not (kf_mask[slot] and kf_fid[slot] == fid):
+                break
+            run.append((slot, fid, mark))
+        run.reverse()
+        if len(run) < 5:
+            return
+        bounds = [(a[2], b[2]) for a, b in zip(run[:-1], run[1:])]
         preints = tr.inertial.kf_chain_preintegrations(bounds)
-        kf_ids = sorted(
-            np.nonzero(np.asarray(tr.st.kf_mask))[0].tolist())[-len(marks):]
+        kf_ids = [slot for slot, _, _ in run]
+        assert len(kf_ids) == len(preints) + 1
         mono = tr.sensor == "mono"
         st2, ok = inert.initialize_imu(tr.st, tr.inertial, kf_ids, preints,
                                        mono_scale_free=mono)

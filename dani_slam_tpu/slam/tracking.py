@@ -526,8 +526,18 @@ class Tracker:
             # frame — by then the transfer has completed, so the host never
             # blocks on the device inside a frame. A rollback snapshot
             # protects against an optimistic update of a lost frame.
+            inert_snap = None
+            if self.inertial is not None:
+                # inertial state is updated optimistically too (v_w/bias by
+                # vi_refine_step, frame_windows by integrate_frame); without
+                # this a rollback leaves it inconsistent with the restored
+                # visual pose
+                inert_snap = (self.inertial.v_w, self.inertial.bias_g,
+                              self.inertial.bias_a, self.inertial.last_preint,
+                              len(self.inertial.frame_windows))
             snapshot = (self.R, self.t, self.R_last, self.t_last, self.vel,
-                        self.st, self.last_bind, self.last_feat)
+                        self.st, self.last_bind, self.last_feat,
+                        self.last_time, inert_snap)
             try:
                 counts.copy_to_host_async()
             except AttributeError:
@@ -583,7 +593,13 @@ class Tracker:
                 # roll back to before the failed frame, discarding the
                 # optimistic updates of the frames after it
                 (self.R, self.t, self.R_last, self.t_last, self.vel,
-                 self.st, self.last_bind, self.last_feat) = snapshot
+                 self.st, self.last_bind, self.last_feat,
+                 self.last_time, inert_snap) = snapshot
+                if inert_snap is not None and self.inertial is not None:
+                    (self.inertial.v_w, self.inertial.bias_g,
+                     self.inertial.bias_a, self.inertial.last_preint,
+                     n_wins) = inert_snap
+                    del self.inertial.frame_windows[n_wins:]
                 for _ in range(len(self._pending) + 1):
                     if self._traj_dev:
                         self._traj_dev.pop()
@@ -629,6 +645,11 @@ class Tracker:
         # scalar is only pulled when a KF would actually be created.
         if self.dynamic_ratio is not None and \
                 float(self.dynamic_ratio) > 0.8:
+            return False
+        # capacity veto: a full keyframe table would silently overwrite the
+        # last slot (first_free_slot clamps). Checked last — the device pull
+        # only happens when a KF would actually be created.
+        if int(mstate.num_keyframes(self.st)) >= self.caps.K:
             return False
         return True
 

@@ -40,8 +40,12 @@ class TestShardedBA:
 
 class TestShardedTraining:
     def test_one_step_runs_and_descends(self):
-        params, loss = ptrain.train_superpoint_sharded(8, steps=2)
-        assert np.isfinite(loss)
+        # deterministic init (fixed PRNG keys), so re-running with more
+        # steps measures actual optimization progress on the same problem
+        _, loss1 = ptrain.train_superpoint_sharded(8, steps=1, lr=1e-3)
+        _, loss20 = ptrain.train_superpoint_sharded(8, steps=20, lr=1e-3)
+        assert np.isfinite(loss20)
+        assert loss20 < loss1, (loss1, loss20)
 
     def test_mesh_shape(self):
         m = ptrain.make_mesh_2d(8)

@@ -166,6 +166,45 @@ class TestPoseInertialOptimize:
                                    atol=0.1)
         assert int(n) > 150
 
+    def test_gyro_bias_is_estimated(self):
+        """Regression (round-1 advisor): the optimized bias must have real
+        gradient through the preintegration residual. A gyro with a constant
+        bias, preintegrated at linearization bias 0, plus strong visual
+        evidence for the true pose, must drive the estimated bias toward the
+        true value — not return the input unchanged."""
+        from dani_slam_tpu.ops import solvers
+        true_bg = np.array([0.0, 0.0, 0.02], np.float32)
+        p = make_vi_problem(P=2, L=200, noise_px=0.2)
+        R_t, t_t, v_t, pts = p["truth"]
+        # rebuild the window's preintegration with biased gyro samples
+        n = 300
+        ts = np.linspace(0.0, 2.0, n + 1)
+        wz, accel = 0.25, np.array([0.8, 0.0, 0.3])
+        from scipy.spatial.transform import Rotation
+        gy, ac, dt = [], [], []
+        for i in range(n):
+            R_wb = Rotation.from_rotvec([0, 0, wz * ts[i]]).as_matrix()
+            gy.append(np.array([0.0, 0.0, wz]) + true_bg)
+            ac.append(R_wb.T @ (accel - np.asarray(imu_ops.G_VEC)))
+            dt.append(ts[i + 1] - ts[i])
+        pre = imu_ops.preintegrate(
+            jnp.asarray(np.asarray(gy, np.float32)),
+            jnp.asarray(np.asarray(ac, np.float32)),
+            jnp.asarray(np.asarray(dt, np.float32)),
+            jnp.ones(n, bool), jnp.zeros(3), jnp.zeros(3), CAL)
+        out = solvers.pose_inertial_optimize(
+            R_t[1], t_t[1], v_t[1], jnp.zeros(3), jnp.zeros(3),
+            R_t[0], t_t[0], v_t[0], jnp.zeros(3), jnp.zeros(3),
+            pre, CAL, CAM, pts, p["obs_xy"][1], p["obs_valid"][1],
+            iters=20)
+        R, t, v, bg, ba, inl, n_in = out
+        # bias must move (was exactly 0.0 before the fix) and toward truth
+        assert float(jnp.linalg.norm(bg)) > 1e-4
+        assert abs(float(bg[2]) - 0.02) < 0.015
+        # pose must not be degraded by absorbing the bias
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_t[1]),
+                                   atol=0.02)
+
     def test_inertial_edge_constrains_without_vision(self):
         """With NO visual matches the inertial chain alone must keep the
         state at the IMU prediction (not NaN, not drifting)."""
