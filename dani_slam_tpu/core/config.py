@@ -29,14 +29,39 @@ def parse_opencv_yaml(path_or_text: str) -> dict:
         except (OSError, ValueError):
             text = path_or_text
     out = {}
-    for line in text.splitlines():
-        line = line.split("#")[0].rstrip()
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].split("#")[0].rstrip()
+        i += 1
         if not line or line.startswith("%") or line.startswith("---"):
             continue
         m = re.match(r"^\s*([A-Za-z0-9_.]+)\s*:\s*(.+)$", line)
         if not m:
             continue
         key, val = m.group(1), m.group(2).strip().strip('"')
+        if val.startswith("!!opencv-matrix"):
+            # multi-line matrix block: rows/cols/dt/data (data may span
+            # lines until the closing bracket) — the reference reads these
+            # via cv::FileStorage (e.g. IMU.T_b_c1, src/Settings.cc)
+            buf = []
+            while i < len(lines):
+                nxt = lines[i].split("#")[0].rstrip()
+                buf.append(nxt)
+                i += 1
+                if "]" in nxt:
+                    break
+                if re.match(r"^\s*[A-Za-z0-9_.]+\s*:", nxt) and \
+                        not re.match(r"^\s*(rows|cols|dt|data)\s*:", nxt):
+                    i -= 1
+                    buf.pop()
+                    break
+            block = " ".join(buf)
+            dm = re.search(r"data\s*:\s*\[([^\]]*)\]", block)
+            if dm:
+                out[key] = tuple(
+                    float(x) for x in dm.group(1).replace(",", " ").split())
+            continue
         try:
             out[key] = int(val)
         except ValueError:
@@ -78,6 +103,7 @@ class Settings:
     imu_walk_gyro: float = 1.9e-5
     imu_walk_acc: float = 3e-3
     imu_frequency: float = 200.0
+    imu_tbc: Optional[tuple] = None          # 16 row-major values (4x4 Tbc)
     # system
     load_atlas: Optional[str] = None
     save_atlas: Optional[str] = None
@@ -130,12 +156,31 @@ class Settings:
         s.imu_walk_gyro = float(g("IMU.GyroWalk", default=s.imu_walk_gyro))
         s.imu_walk_acc = float(g("IMU.AccWalk", default=s.imu_walk_acc))
         s.imu_frequency = float(g("IMU.Frequency", default=s.imu_frequency))
+        tbc = g("IMU.T_b_c1", "Tbc")         # new format / legacy key
+        if tbc is not None and len(tbc) == 16:
+            s.imu_tbc = tuple(float(x) for x in tbc)
         s.load_atlas = g("System.LoadAtlasFromFile")
         s.save_atlas = g("System.SaveAtlasToFile")
         s.superpoint_weights = g("Models.SuperPoint")
         s.lightglue_weights = g("Models.LightGlue")
         s.yolo_weights = g("Models.Yolo")
         return s
+
+    def imu_calib(self):
+        """ImuCalib with noise densities and the parsed Tbc extrinsics
+        (reference: IMU::Calib construction from Settings,
+        include/ImuTypes.h:92-127)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from dani_slam_tpu.ops import imu as imu_ops
+        R_bc, t_bc = jnp.eye(3), jnp.zeros(3)
+        if self.imu_tbc is not None:
+            T = np.asarray(self.imu_tbc, np.float32).reshape(4, 4)
+            R_bc, t_bc = jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3])
+        return imu_ops.ImuCalib(
+            jnp.asarray(self.imu_noise_gyro), jnp.asarray(self.imu_noise_acc),
+            jnp.asarray(self.imu_walk_gyro), jnp.asarray(self.imu_walk_acc),
+            R_bc, t_bc)
 
     def camera(self) -> _cam.Camera:
         if self.camera_type.lower() in ("kannalabrandt8", "fisheye"):

@@ -149,6 +149,30 @@ def preintegrate(gyro: jax.Array, acc: jax.Array, dts: jax.Array,
                          bias_g, bias_a)
 
 
+def body_from_camera(R_bc, t_bc, R_cw, t_cw):
+    """World-from-body state (R_wb, p_wb) of a camera-from-world pose under
+    the camera-IMU extrinsics T_bc (body-from-camera). Batched over leading
+    dims. Reference: ImuCamPose keeps both parameterizations in sync
+    (include/G2oTypes.h:130, src/G2oTypes.cc SetParam/Update).
+
+      R_wb = R_wc R_bc^T,  p_wb = C_cam - R_wb t_bc
+    """
+    R_wc = jnp.swapaxes(R_cw, -1, -2)
+    C = -jnp.einsum('...ij,...j->...i', R_wc, t_cw)
+    R_wb = R_wc @ jnp.swapaxes(R_bc, -1, -2)
+    p_wb = C - jnp.einsum('...ij,j->...i', R_wb, t_bc)
+    return R_wb, p_wb
+
+
+def camera_from_body(R_bc, t_bc, R_wb, p_wb):
+    """Inverse of body_from_camera: T_cw from a world-from-body state."""
+    R_wc = R_wb @ R_bc
+    R_cw = jnp.swapaxes(R_wc, -1, -2)
+    C = p_wb + jnp.einsum('...ij,...j->...i', R_wb, t_bc)
+    t_cw = -jnp.einsum('...ij,...j->...i', R_cw, C)
+    return R_cw, t_cw
+
+
 def corrected_deltas(p: Preintegrated, bias_g: jax.Array, bias_a: jax.Array):
     """Bias-corrected deltas via stored Jacobians (reference:
     GetDeltaRotation/Velocity/Position, ImuTypes.cc:283-310)."""
@@ -185,15 +209,25 @@ def inertial_residual(p: Preintegrated, R1, t1, v1, R2, t2, v2,
 def inertial_init(R_wb: jax.Array, t_wb: jax.Array, dts: jax.Array,
                   preints: Preintegrated, iters: int = 30,
                   optimize_scale: bool = True,
-                  prior_gyro: float = 1e2, prior_acc: float = 1e2):
+                  prior_gyro: float = 1e2, prior_acc: float = 1e2,
+                  t_off: jax.Array | None = None):
     """Estimate gravity direction, velocities, common bias and scale from a
     chain of keyframe poses + preintegrations (vmapped Preintegrated with
     leading dim K-1). Gauss-Newton on [s, theta_g(2), bg(3), ba(3), v(3K)].
+
+    R_wb: world-from-BODY rotations. t_wb: the SCALE-DEPENDENT part of the
+    body position (the camera center, which a mono map knows only up to
+    scale); t_off [K,3] is the scale-INDEPENDENT extrinsic offset
+    (-R_wb @ t_bc), so p_body(s) = s*t_wb + t_off. With identity Tbc,
+    t_off = 0 and p_body = s*t_wb (reference: ImuCamPose scales only the
+    camera translation, src/G2oTypes.cc VertexPose/InertialOptimization).
 
     Simplification vs reference: one shared bias across the window (the
     reference also optimizes a single bias here), velocities solved jointly.
     """
     K = R_wb.shape[0]
+    if t_off is None:
+        t_off = jnp.zeros_like(t_wb)
 
     def unpack(x):
         s = jnp.exp(x[0])       # log-scale param keeps s > 0
@@ -214,10 +248,11 @@ def inertial_init(R_wb: jax.Array, t_wb: jax.Array, dts: jax.Array,
             dR, dV, dP = corrected_deltas(p, bg, ba)
             dt = p.dt
             R1 = R_wb[i]
+            p1 = s * t_wb[i] + t_off[i]
+            p2 = s * t_wb[i + 1] + t_off[i + 1]
             er = lie.so3_log(dR.T @ R1.T @ R_wb[i + 1])
             ev = R1.T @ (v[i + 1] - v[i] - g * dt) - dV
-            ep = R1.T @ (s * (t_wb[i + 1] - t_wb[i]) - v[i] * dt
-                         - 0.5 * g * dt * dt) - dP
+            ep = R1.T @ (p2 - p1 - v[i] * dt - 0.5 * g * dt * dt) - dP
             return jnp.concatenate([er, ev, ep])
         chain = jax.vmap(one)(jnp.arange(K - 1)).reshape(-1)
         # strong bias priors pin the scale/bias degeneracy: when the

@@ -202,10 +202,12 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
         v2 = v + dx[6:9]
         bg2 = bg + dx[9:12]
         ba2 = ba_ + dx[12:15]
-        Rw = R2.T
-        pw = -Rw @ t2
-        Rw_p = R_prev.T
-        pw_p = -Rw_p @ t_prev
+        # camera-IMU extrinsics: the inertial residual lives on BODY states
+        # (reference: ImuCamPose threads Tbc through every inertial edge,
+        # include/G2oTypes.h:130)
+        Rw, pw = imu_ops.body_from_camera(calib.R_bc, calib.t_bc, R2, t2)
+        Rw_p, pw_p = imu_ops.body_from_camera(calib.R_bc, calib.t_bc,
+                                              R_prev, t_prev)
         # the preintegration residual is evaluated at the OPTIMIZED bias
         # (bg2/ba2) via the stored first-order bias Jacobians, so the bias
         # sub-block has real gradient from the IMU chain (the reference gets

@@ -46,10 +46,11 @@ class VIBAResult(NamedTuple):
 
 
 def _imu_edge_residual(dx_i, dx_j, Ri, ti, vi, bgi, bai, Rj, tj, vj, bgj,
-                       baj, preint):
+                       baj, preint, R_bc=None, t_bc=None):
     """15-D residual of one inertial edge under local increments dx (15 each):
     9 preintegration + 3 gyro-walk + 3 acc-walk (reference: EdgeInertial +
-    EdgeGyroRW + EdgeAccRW)."""
+    EdgeGyroRW + EdgeAccRW). R_bc/t_bc: camera-IMU extrinsics (body ==
+    camera when omitted)."""
     def apply(dx, R, t, v, bg, ba_):
         dR, dt = lie.se3_exp(dx[:6])
         return (dR @ R, dR @ t + dt, v + dx[6:9], bg + dx[9:12],
@@ -57,11 +58,13 @@ def _imu_edge_residual(dx_i, dx_j, Ri, ti, vi, bgi, bai, Rj, tj, vj, bgj,
 
     Ri2, ti2, vi2, bgi2, bai2 = apply(dx_i, Ri, ti, vi, bgi, bai)
     Rj2, tj2, vj2, bgj2, baj2 = apply(dx_j, Rj, tj, vj, bgj, baj)
-    # world-from-body states
-    Rwi = Ri2.T
-    pwi = -Rwi @ ti2
-    Rwj = Rj2.T
-    pwj = -Rwj @ tj2
+    # world-from-body states (through Tbc, reference: ImuCamPose)
+    if R_bc is None:
+        R_bc = jnp.eye(3)
+    if t_bc is None:
+        t_bc = jnp.zeros(3)
+    Rwi, pwi = imu_ops.body_from_camera(R_bc, t_bc, Ri2, ti2)
+    Rwj, pwj = imu_ops.body_from_camera(R_bc, t_bc, Rj2, tj2)
     r9 = imu_ops.inertial_residual(preint, Rwi, pwi, vi2, Rwj, pwj, vj2,
                                    bgi2, bai2)
     return jnp.concatenate([r9, bgj2 - bgi2, baj2 - bai2])
@@ -121,7 +124,7 @@ def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
             r = _imu_edge_residual(
                 jnp.zeros(15), jnp.zeros(15), R[i], t[i], v[i], bg[i],
                 ba_[i], R[i + 1], t[i + 1], v[i + 1], bg[i + 1], ba_[i + 1],
-                p)
+                p, calib.R_bc, calib.t_bc)
             return jnp.sum(r * r * edge_info[i]) * edge_valid[i]
         return jnp.sum(jax.vmap(one)(jnp.arange(P - 1)))
 
@@ -168,7 +171,8 @@ def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
         def edge(i):
             p = jax.tree_util.tree_map(lambda a: a[i], preints)
             args = (R[i], t[i], v[i], bg[i], ba_[i],
-                    R[i + 1], t[i + 1], v[i + 1], bg[i + 1], ba_[i + 1], p)
+                    R[i + 1], t[i + 1], v[i + 1], bg[i + 1], ba_[i + 1], p,
+                    calib.R_bc, calib.t_bc)
             r_e = _imu_edge_residual(zero, zero, *args)
             Ji = jax.jacfwd(lambda dx: _imu_edge_residual(dx, zero, *args))(
                 zero)

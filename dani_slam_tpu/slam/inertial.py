@@ -55,23 +55,25 @@ def make_window(gyro, acc, dts, max_s: int = MAX_SAMPLES_PER_FRAME
 
 @jax.jit
 def predict_state_imu(R_cw, t_cw, v_w, preint: imu_ops.Preintegrated,
-                      bias_g, bias_a):
+                      bias_g, bias_a, R_bc=None, t_bc=None):
     """IMU forward prediction of the next camera pose (reference:
     PredictStateIMU src/Tracking.cc:1757-1805). Poses are camera-from-world;
-    body == camera here (Tbc handled upstream if non-identity).
+    integration happens on the BODY state through the camera-IMU extrinsics
+    Tbc (identity when omitted).
 
     Returns (R_cw', t_cw', v_w')."""
+    if R_bc is None:
+        R_bc = jnp.eye(3)
+    if t_bc is None:
+        t_bc = jnp.zeros(3)
     dR, dV, dP = imu_ops.corrected_deltas(preint, bias_g, bias_a)
     dt = preint.dt
-    # world-from-body of current frame
-    R_wb = R_cw.T
-    p_w = -R_wb @ t_cw
+    R_wb, p_w = imu_ops.body_from_camera(R_bc, t_bc, R_cw, t_cw)
     R_wb2 = lie.orthonormalize(R_wb @ dR)
     p_w2 = p_w + v_w * dt + 0.5 * imu_ops.G_VEC * dt * dt + R_wb @ dP
     v_w2 = v_w + imu_ops.G_VEC * dt + R_wb @ dV
-    R_cw2 = R_wb2.T
-    t_cw2 = -R_cw2 @ p_w2
-    return R_cw2, t_cw2, v_w2
+    R_cw2, t_cw2 = imu_ops.camera_from_body(R_bc, t_bc, R_wb2, p_w2)
+    return lie.orthonormalize(R_cw2), t_cw2, v_w2
 
 
 class InertialState:
@@ -127,11 +129,17 @@ def initialize_imu(st: mstate.MapState, inertial: InertialState,
 
     if len(kf_ids) < 4 or any(p is None for p in preints):
         return st, False
-    R_wb = jnp.stack([st.kf_R[k].T for k in kf_ids])
-    t_wb = jnp.stack([-st.kf_R[k].T @ st.kf_t[k] for k in kf_ids])
+    # body states through the camera-IMU extrinsics: the scale-dependent
+    # part is the camera center (mono maps know it only up to scale); the
+    # -R_wb t_bc offset is metric and passed separately (t_off)
+    R_bc, t_bc = inertial.calib.R_bc, inertial.calib.t_bc
+    ks = jnp.asarray(kf_ids)
+    R_wb, _ = imu_ops.body_from_camera(R_bc, t_bc, st.kf_R[ks], st.kf_t[ks])
+    C_cam = -jnp.einsum('kji,kj->ki', st.kf_R[ks], st.kf_t[ks])
+    t_off = -jnp.einsum('kij,j->ki', R_wb, t_bc)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
-    out = imu_ops.inertial_init(R_wb, t_wb, None, stacked,
-                                optimize_scale=mono_scale_free)
+    out = imu_ops.inertial_init(R_wb, C_cam, None, stacked,
+                                optimize_scale=mono_scale_free, t_off=t_off)
     s = float(out["scale"])
     # mono maps are normalized to median depth 1, so the metric scale can
     # legitimately be 10x+; only reject clearly broken solves

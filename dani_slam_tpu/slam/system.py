@@ -43,7 +43,8 @@ class System:
                  enable_mapping: bool = True, max_depth: float = 40.0,
                  local_ba_every: int = 1, enable_loop_closing: bool = True,
                  enable_relocalization: bool = True,
-                 pipelined: bool = False, detector=None, matcher=None):
+                 pipelined: bool = False, detector=None, matcher=None,
+                 imu_calib=None):
         self.cam = cam
         self.sensor = sensor
         self.caps = caps or mstate.MapCaps()
@@ -92,7 +93,7 @@ class System:
                                   Sensor.IMU_RGBD)
         if self.use_imu:
             from dani_slam_tpu.slam.inertial import InertialState
-            self.tracker.inertial = InertialState()
+            self.tracker.inertial = InertialState(imu_calib)
             self._kf_window_marks = []   # frame_windows index at each KF
             self._recent_kfs = []        # temporal KF chain (slots)
             self._recent_preints = []    # KF-to-KF preintegrations

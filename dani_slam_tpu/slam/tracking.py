@@ -495,7 +495,8 @@ class Tracker:
             R_cur, t_cur, v_pred = inert.predict_state_imu(
                 self.R, self.t, self.inertial.v_w,
                 self.inertial.last_preint, self.inertial.bias_g,
-                self.inertial.bias_a)
+                self.inertial.bias_a, self.inertial.calib.R_bc,
+                self.inertial.calib.t_bc)
             has_vel = False      # prediction already applied
         Rv, tv = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
         R_new, t_new, bind, counts, st = track_frame_step(

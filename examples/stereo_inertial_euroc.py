@@ -32,7 +32,8 @@ def main():
     sensor = Sensor.STEREO if args.no_imu else Sensor.IMU_STEREO
     sys_ = System(cam, sensor,
                   caps=mstate.MapCaps(N=settings.n_features),
-                  n_features=settings.n_features, pipelined=True)
+                  n_features=settings.n_features, pipelined=True,
+                  imu_calib=settings.imu_calib())
 
     left = io_utils.load_euroc_cam_list(args.sequence, "cam0")
     right = io_utils.load_euroc_cam_list(args.sequence, "cam1")

@@ -12,10 +12,15 @@ CAL = imu_ops.ImuCalib.default()
 
 
 def make_vi_problem(P=6, L=150, noise_px=0.4, pose_err=0.02, v_err=0.1,
-                    seed=0):
-    """Accelerating+rotating trajectory with perfect IMU windows."""
+                    seed=0, tbc=None):
+    """Accelerating+rotating BODY trajectory with perfect IMU windows.
+    tbc: optional (R_bc, t_bc) camera-IMU extrinsics — the IMU measures the
+    body; camera poses include the offset (like EuRoC's large Tbc)."""
     rng = np.random.RandomState(seed)
     from scipy.spatial.transform import Rotation
+
+    R_bc = np.eye(3) if tbc is None else np.asarray(tbc[0])
+    t_bc = np.zeros(3) if tbc is None else np.asarray(tbc[1])
 
     accel = np.array([0.8, 0.0, 0.3])
     wz = 0.25
@@ -29,9 +34,13 @@ def make_vi_problem(P=6, L=150, noise_px=0.4, pose_err=0.02, v_err=0.1,
     R_true, t_true, v_true = [], [], []
     for tt in times:
         R_wb, C, v = traj(tt)
-        R_cw = R_wb.T
+        # T_cw = T_cb * T_bw
+        R_bw = R_wb.T
+        t_bw = -R_bw @ C
+        R_cw = R_bc.T @ R_bw
+        t_cw = R_bc.T @ (t_bw - t_bc)
         R_true.append(R_cw)
-        t_true.append(-R_cw @ C)
+        t_true.append(t_cw)
         v_true.append(v)
     R_true = jnp.asarray(np.stack(R_true), jnp.float32)
     t_true = jnp.asarray(np.stack(t_true), jnp.float32)
@@ -137,6 +146,139 @@ class TestVIBA:
             jnp.zeros(3), jnp.zeros(3), R_t[1], t_t[1], v_t[1],
             jnp.zeros(3), jnp.zeros(3), pre0)
         assert float(jnp.abs(r).max()) < 0.05
+
+
+def _test_tbc():
+    """Non-identity camera-IMU extrinsics (~21 deg rotation + lever arm)."""
+    from scipy.spatial.transform import Rotation
+    R_bc = Rotation.from_rotvec([0.2, 0.1, 0.3]).as_matrix()
+    t_bc = np.array([0.1, -0.05, 0.03])
+    return R_bc, t_bc
+
+
+class TestTbcExtrinsics:
+    """Camera-IMU extrinsics threaded through every inertial solver
+    (reference: ImuCamPose, include/G2oTypes.h:130; round-1 review flagged
+    R_bc/t_bc as dead code)."""
+
+    def _calib(self, R_bc, t_bc):
+        return imu_ops.ImuCalib(CAL.noise_gyro, CAL.noise_acc, CAL.walk_gyro,
+                                CAL.walk_acc, jnp.asarray(R_bc, jnp.float32),
+                                jnp.asarray(t_bc, jnp.float32))
+
+    def test_body_camera_round_trip(self):
+        R_bc, t_bc = _test_tbc()
+        rng = np.random.RandomState(0)
+        from scipy.spatial.transform import Rotation
+        R_cw = jnp.asarray(Rotation.random(5, random_state=rng).as_matrix(),
+                           jnp.float32)
+        t_cw = jnp.asarray(rng.randn(5, 3), jnp.float32)
+        R_wb, p_wb = imu_ops.body_from_camera(
+            jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc, jnp.float32),
+            R_cw, t_cw)
+        R2, t2 = imu_ops.camera_from_body(
+            jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc, jnp.float32),
+            R_wb, p_wb)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R_cw),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t_cw),
+                                   atol=1e-5)
+
+    def test_imu_edge_zero_at_truth_with_tbc(self):
+        R_bc, t_bc = _test_tbc()
+        p = make_vi_problem(pose_err=0.0, v_err=0.0, tbc=(R_bc, t_bc))
+        R_t, t_t, v_t, _ = p["truth"]
+        pre0 = jax.tree_util.tree_map(lambda a: a[0], p["preints"])
+        r = viba._imu_edge_residual(
+            jnp.zeros(15), jnp.zeros(15), R_t[0], t_t[0], v_t[0],
+            jnp.zeros(3), jnp.zeros(3), R_t[1], t_t[1], v_t[1],
+            jnp.zeros(3), jnp.zeros(3), pre0,
+            jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc, jnp.float32))
+        assert float(jnp.abs(r).max()) < 0.05
+
+    def test_predict_state_imu_with_tbc(self):
+        R_bc, t_bc = _test_tbc()
+        p = make_vi_problem(P=2, tbc=(R_bc, t_bc))
+        R_t, t_t, v_t, _ = p["truth"]
+        pre = jax.tree_util.tree_map(lambda a: a[0], p["preints"])
+        from dani_slam_tpu.slam import inertial as inert
+        R2, t2, v2 = inert.predict_state_imu(
+            R_t[0], t_t[0], v_t[0], pre, jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc, jnp.float32))
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t_t[1]),
+                                   atol=0.02)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v_t[1]),
+                                   atol=0.05)
+
+    def test_viba_with_tbc_recovers(self):
+        R_bc, t_bc = _test_tbc()
+        p = make_vi_problem(tbc=(R_bc, t_bc))
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        calib = self._calib(R_bc, t_bc)
+        res = viba.viba_solve(
+            p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)), jnp.zeros((P, 3)),
+            p["fixed"], p["lm0"], jnp.ones(L, bool), CAM,
+            p["obs_lm"], p["obs_xy"], p["obs_valid"], p["preints"],
+            jnp.ones(P - 1, bool), calib, iters=10)
+        R_t, t_t, v_t, pts = p["truth"]
+        np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_t),
+                                   atol=0.03)
+        np.testing.assert_allclose(np.asarray(res.v), np.asarray(v_t),
+                                   atol=0.15)
+
+    def test_pose_inertial_optimize_with_tbc(self):
+        from dani_slam_tpu.ops import solvers
+        R_bc, t_bc = _test_tbc()
+        p = make_vi_problem(P=2, L=200, noise_px=0.3, tbc=(R_bc, t_bc))
+        R_t, t_t, v_t, pts = p["truth"]
+        pre = jax.tree_util.tree_map(lambda a: a[0], p["preints"])
+        calib = self._calib(R_bc, t_bc)
+        rng = np.random.RandomState(1)
+        dxi = jnp.asarray(rng.randn(6) * 0.03, jnp.float32)
+        dR, dt = lie.se3_exp(dxi)
+        out = solvers.pose_inertial_optimize(
+            dR @ R_t[1], dR @ t_t[1] + dt,
+            v_t[1] + jnp.asarray(rng.randn(3) * 0.2, jnp.float32),
+            jnp.zeros(3), jnp.zeros(3),
+            R_t[0], t_t[0], v_t[0], jnp.zeros(3), jnp.zeros(3),
+            pre, calib, CAM, pts, p["obs_xy"][1], p["obs_valid"][1])
+        R, t, v, bg, ba, inl, n = out
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_t[1]),
+                                   atol=0.01)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_t[1]),
+                                   atol=0.1)
+
+    def test_config_parses_tbc_matrix(self):
+        from dani_slam_tpu.core import config as cfg
+        yaml = """%YAML:1.0
+---
+Camera1.fx: 458.654
+IMU.NoiseGyro: 1.7e-4
+IMU.T_b_c1: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [0.0148655429818, -0.999880929698, 0.00414029679422, -0.0216401454975,
+         0.999557249008, 0.0149672133247, 0.025715529948, -0.064676986768,
+         -0.0257744366974, 0.00375618835797, 0.999660727178, 0.00981073058949,
+         0.0, 0.0, 0.0, 1.0]
+IMU.Frequency: 200.0
+"""
+        s = cfg.Settings.from_yaml(yaml)
+        assert s.imu_tbc is not None and len(s.imu_tbc) == 16
+        calib = s.imu_calib()
+        T = np.asarray(s.imu_tbc).reshape(4, 4)
+        np.testing.assert_allclose(np.asarray(calib.R_bc), T[:3, :3],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(calib.t_bc), T[:3, 3],
+                                   atol=1e-6)
+        # parsing continues past the matrix block
+        assert abs(s.imu_frequency - 200.0) < 1e-9
+        # orthonormal rotation (EuRoC's real Tbc)
+        np.testing.assert_allclose(
+            np.asarray(calib.R_bc) @ np.asarray(calib.R_bc).T, np.eye(3),
+            atol=1e-4)
 
 
 class TestPoseInertialOptimize:
