@@ -202,3 +202,208 @@ def ba_solve_pcg(R0, t0, pose_fixed, lm0, lm_valid, cam,
     c, total = cost_of(R, t, lm)
     inlier = base_valid & (c <= CHI2_MONO)
     return ba_ops.BAResult(R, t, lm, inlier, total)
+
+
+# ---------------------------------------------------------------------------
+# Full (whole-map) visual-inertial BA
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
+def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
+                     obs_lm, obs_xy, obs_valid, preints, edge_valid,
+                     calib: imu_ops.ImuCalib,
+                     prior_g: float = 0.0, prior_a: float = 0.0,
+                     iters: int = 8, cg_iters: int = 50,
+                     robust: bool = True):
+    """Whole-map visual-inertial BA (reference: Optimizer::FullInertialBA
+    src/Optimizer.cc:392 — all keyframes' 15-DoF states + all landmarks,
+    EdgeInertial chain between consecutive keyframes, EdgePriorGyro/Acc with
+    staged weights (priorG, priorA) during IMU initialization,
+    src/LocalMapping.cc:183-233).
+
+    States are in TEMPORAL order (slot i+1 follows slot i). Observations are
+    keyframe-major: obs_lm [P,N] GLOBAL landmark ids (-1 none), obs_xy
+    [P,N,2]. preints: stacked Preintegrated [P-1]; edge_valid [P-1].
+    pose_fixed freezes only the POSE dofs (gauge); velocities/biases of
+    anchors stay free, as in ops/viba.py.
+
+    Same Schur-free PCG machinery as ba_solve_pcg; the inertial chain and
+    bias priors enter the CG matvec as a block-tridiagonal + diagonal term —
+    never materializing the [P,P,15,15] reduced system.
+    """
+    from dani_slam_tpu.ops import viba as viba_ops
+
+    P, N = obs_lm.shape
+    L = lm0.shape[0]
+    M = P * N
+    delta = CHI2_MONO ** 0.5
+
+    obs_kf = jnp.repeat(jnp.arange(P), N)
+    olm_flat = jnp.where(obs_valid, obs_lm, 0).reshape(-1)
+    ovalid_flat = (obs_valid & (obs_lm >= 0)).reshape(-1)
+    oxy_flat = obs_xy.reshape(-1, 2)
+    base_valid = ovalid_flat & jnp.take(lm_valid, olm_flat)
+    perm, seg_start, seg_end = _landmark_segments(olm_flat, base_valid, L)
+    olm_2d = olm_flat.reshape(P, N)
+
+    # inertial edge information (diagonal approximation, as ops/viba.py)
+    covs = preints.cov[:, jnp.arange(9), jnp.arange(9)]
+    info9 = 1.0 / jnp.maximum(covs, 1e-8)
+    dts = jnp.maximum(preints.dt, 1e-3)
+    info_bg = 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dts, 1e-12)
+    info_ba = 1.0 / jnp.maximum(calib.walk_acc ** 2 * dts, 1e-12)
+    edge_info = jnp.concatenate([
+        info9, jnp.repeat(info_bg[:, None], 3, 1),
+        jnp.repeat(info_ba[:, None], 3, 1)], axis=1)
+    edge_info = jnp.clip(edge_info, 0.0, 1e6) * edge_valid[:, None]
+
+    # bias prior information (toward zero, reference EdgePriorGyro/Acc)
+    prior_diag = jnp.concatenate([
+        jnp.zeros(9), jnp.full(3, prior_g), jnp.full(3, prior_a)])
+
+    zero15 = jnp.zeros(15)
+
+    def edge_parts(R, t, v, bg, ba_):
+        def one(i):
+            p = jax.tree_util.tree_map(lambda a: a[i], preints)
+            args = (R[i], t[i], v[i], bg[i], ba_[i], R[i + 1], t[i + 1],
+                    v[i + 1], bg[i + 1], ba_[i + 1], p, calib.R_bc,
+                    calib.t_bc)
+            r_e = viba_ops._imu_edge_residual(zero15, zero15, *args)
+            Ji = jax.jacfwd(lambda dx: viba_ops._imu_edge_residual(
+                dx, zero15, *args))(zero15)
+            Jj = jax.jacfwd(lambda dx: viba_ops._imu_edge_residual(
+                zero15, dx, *args))(zero15)
+            return r_e, Ji, Jj
+        return jax.vmap(one)(jnp.arange(P - 1))
+
+    def vis_cost(R, t, lm):
+        r, _, _ = ba_ops._residuals(R, t, cam, lm, obs_kf, olm_flat,
+                                    oxy_flat)
+        c = jnp.sum(r * r, axis=-1)
+        rho = ba_ops._rho(c, delta) if robust else c
+        return c, jnp.sum(jnp.where(base_valid, rho, 0.0))
+
+    def total_cost(R, t, v, bg, ba_, lm):
+        _, cv = vis_cost(R, t, lm)
+        r_e, _, _ = edge_parts(R, t, v, bg, ba_)
+        ci = jnp.sum(r_e * r_e * edge_info)
+        cp = jnp.sum((bg * bg) * prior_g + (ba_ * ba_) * prior_a)
+        return cv + ci + cp
+
+    def lm_iter(_, carry):
+        R, t, v, bg, ba_, lm, lam = carry
+
+        # ---- visual blocks (pose sub-block only) ----
+        r, Jpose, Jpt = ba_ops._residuals(R, t, cam, lm, obs_kf, olm_flat,
+                                          oxy_flat)
+        c = jnp.sum(r * r, axis=-1)
+        w = ba_ops._robust_w(c, delta) if robust else jnp.ones_like(c)
+        w = jnp.where(base_valid, w, 0.0)
+        A = jnp.einsum('mki,mk,mkj->mij', Jpose,
+                       jnp.broadcast_to(w[:, None], (M, 2)), Jpt)
+        JtJ_p = jnp.einsum('mik,m,mil->mkl', Jpose, w, Jpose)
+        JtJ_l = jnp.einsum('mik,m,mil->mkl', Jpt, w, Jpt)
+        g_p_m = jnp.einsum('mik,m,mi->mk', Jpose, w, r)
+        g_l_m = jnp.einsum('mik,m,mi->mk', Jpt, w, r)
+        H_pp = JtJ_p.reshape(P, N, 6, 6).sum(1)
+        g_p6 = g_p_m.reshape(P, N, 6).sum(1)
+        H_ll = _segsum(JtJ_l.reshape(M, 9)[perm], seg_start,
+                       seg_end).reshape(L, 3, 3)
+        g_l = _segsum(g_l_m[perm], seg_start, seg_end)
+        H_ll_d = H_ll + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_ll))
+                         + 1e-8 * jnp.eye(3))
+        Hll_inv = ba_ops._inv3x3(H_ll_d)
+        A4 = A.reshape(P, N, 6, 3)
+
+        # ---- inertial blocks ----
+        r_e, Ji, Jj = edge_parts(R, t, v, bg, ba_)
+        we = edge_info                                        # [E,15]
+
+        # gauge mask: pose dofs of fixed states
+        keep = jnp.ones((P, 15)).at[:, :6].set(
+            jnp.broadcast_to((~pose_fixed).astype(jnp.float32)[:, None],
+                             (P, 6)))
+
+        # gradient (rhs)
+        hg = jnp.einsum('lij,lj->li', Hll_inv, g_l)
+        rhs6 = g_p6 - jnp.einsum('pnij,pnj->pni', A4, hg[olm_2d]).sum(1)
+        rhs = jnp.zeros((P, 15)).at[:, :6].set(rhs6)
+        rhs = rhs.at[:-1].add(jnp.einsum('eki,ek,ek->ei', Ji, we, r_e))
+        rhs = rhs.at[1:].add(jnp.einsum('eki,ek,ek->ei', Jj, we, r_e))
+        rhs = rhs + prior_diag * jnp.concatenate(
+            [jnp.zeros((P, 9)), bg, ba_], axis=1)
+        rhs = rhs * keep
+
+        # damped diagonal for the preconditioner + LM damping in matvec
+        diag_v = jnp.zeros((P, 15)).at[:, :6].set(
+            jax.vmap(jnp.diag)(H_pp))
+        diag_i = (jnp.zeros((P, 15))
+                  .at[:-1].add(jnp.einsum('eki,ek,eki->ei', Ji, we, Ji))
+                  .at[1:].add(jnp.einsum('eki,ek,eki->ei', Jj, we, Jj)))
+        diag_all = diag_v + diag_i + prior_diag
+        diag_damped = diag_all * (1.0 + lam) + 1e-6
+        prec = jnp.where(keep > 0, 1.0 / jnp.clip(diag_damped, 1e-8, None),
+                         1.0)
+
+        def matvec(x):
+            x = x * keep
+            x6 = x[:, :6]
+            u = jnp.einsum('pnij,pi->pnj', A4, x6)
+            y = _segsum(u.reshape(M, 3)[perm], seg_start, seg_end)
+            z = jnp.einsum('lij,lj->li', Hll_inv, y)
+            w2 = jnp.einsum('pnij,pnj->pni', A4, z[olm_2d]).sum(1)
+            Sx6 = jnp.einsum('pij,pj->pi', H_pp, x6) - w2
+            Sx = jnp.zeros((P, 15)).at[:, :6].set(Sx6)
+            ve = (jnp.einsum('eij,ej->ei', Ji, x[:-1]) +
+                  jnp.einsum('eij,ej->ei', Jj, x[1:]))
+            wve = we * ve
+            Sx = Sx.at[:-1].add(jnp.einsum('eij,ei->ej', Ji, wve))
+            Sx = Sx.at[1:].add(jnp.einsum('eij,ei->ej', Jj, wve))
+            Sx = Sx + prior_diag * x
+            # LM damping on the (approximate) diagonal
+            Sx = Sx + (lam * diag_all + 1e-6) * x
+            return Sx * keep + x * (1.0 - keep)
+
+        b = -rhs
+
+        def cg_step(_, cg):
+            x, rvec, pv, rz = cg
+            Ap = matvec(pv)
+            pAp = jnp.sum(pv * Ap)
+            alpha = jnp.where(pAp > 1e-20, rz / pAp, 0.0)
+            x = x + alpha * pv
+            rvec = rvec - alpha * Ap
+            z = prec * rvec
+            rz_new = jnp.sum(rvec * z)
+            beta = jnp.where(rz > 1e-20, rz_new / rz, 0.0)
+            return (x, rvec, z + beta * pv, rz_new)
+
+        x0 = jnp.zeros((P, 15))
+        z0 = prec * b
+        dx, *_ = jax.lax.fori_loop(0, cg_iters, cg_step,
+                                   (x0, b, z0, jnp.sum(b * z0)))
+        dx = dx * keep
+
+        # landmark back-substitution
+        u = jnp.einsum('pnij,pi->pnj', A4, dx[:, :6])
+        y = _segsum(u.reshape(M, 3)[perm], seg_start, seg_end)
+        dl = -jnp.einsum('lij,lj->li', Hll_inv, g_l + y)
+        dl = jnp.where(lm_valid[:, None], dl, 0.0)
+
+        dR, dt = lie.se3_exp(dx[:, :6])
+        cand = (dR @ R, jnp.einsum('pij,pj->pi', dR, t) + dt,
+                v + dx[:, 6:9], bg + dx[:, 9:12], ba_ + dx[:, 12:15],
+                lm + dl)
+        better = total_cost(*cand) < total_cost(R, t, v, bg, ba_, lm)
+        pick = lambda a, b_: jnp.where(better, a, b_)
+        out = tuple(pick(a, b_) for a, b_ in zip(
+            cand, (R, t, v, bg, ba_, lm)))
+        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e8)
+        return (*out, lam)
+
+    carry = (R0, t0, v0, bg0, ba0, lm0, jnp.asarray(1e-4))
+    R, t, v, bg, ba_, lm, _ = jax.lax.fori_loop(0, iters, lm_iter, carry)
+    from dani_slam_tpu.ops.viba import VIBAResult
+    return VIBAResult(R, t, v, bg, ba_, lm,
+                      total_cost(R, t, v, bg, ba_, lm))

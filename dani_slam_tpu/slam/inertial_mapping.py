@@ -19,6 +19,64 @@ from dani_slam_tpu.ops import imu as imu_ops
 from dani_slam_tpu.ops import viba
 
 
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def full_inertial_ba_map(st: mstate.MapState, cam, kf_slots: jax.Array,
+                         slot_valid: jax.Array, preints,
+                         edge_valid: jax.Array, calib: imu_ops.ImuCalib,
+                         prior_g: float = 0.0, prior_a: float = 0.0,
+                         iters: int = 8, cg_iters: int = 50):
+    """Whole-map VI BA over the temporal keyframe chain (reference:
+    Optimizer::FullInertialBA src/Optimizer.cc:392, invoked by
+    LocalMapping::InitializeIMU with staged priors and by the VIBA1/VIBA2
+    timers, src/LocalMapping.cc:183-233).
+
+    kf_slots [P]: ALL alive keyframes in temporal order (padded);
+    preints [P-1] KF-to-KF preintegrations (windows merged across culled
+    keyframes); prior_g/prior_a: staged bias-prior weights. Landmarks are
+    passed at FULL capacity — the PCG solver never materializes per-pair
+    blocks, so whole-map scale is fine."""
+    from dani_slam_tpu.ops import ba_large
+
+    P = kf_slots.shape[0]
+    K, N = st.obs_lm.shape
+    safe = jnp.where(slot_valid, kf_slots, 0)
+    alive = slot_valid & st.kf_mask[safe]
+
+    obs_lm_rows = jnp.where(
+        (st.obs_lm[safe] >= 0) & st.kf_kp_mask[safe] & alive[:, None],
+        st.obs_lm[safe], -1)
+    obs_xy = st.kf_kp[safe]
+
+    first_pos = jnp.argmax(alive)
+    pose_fixed = (jnp.arange(P) == first_pos) | ~alive
+
+    res = ba_large.full_inertial_ba(
+        st.kf_R[safe], st.kf_t[safe], st.kf_vel[safe], st.kf_bias_g[safe],
+        st.kf_bias_a[safe], pose_fixed, st.lm_pos, st.lm_mask, cam,
+        obs_lm_rows, obs_xy, obs_lm_rows >= 0,
+        preints, edge_valid & alive[:-1] & alive[1:], calib,
+        prior_g=prior_g, prior_a=prior_a, iters=iters, cg_iters=cg_iters)
+
+    upd = alive & ~pose_fixed
+    widx = jnp.where(upd, safe, K - 1)
+    vidx = jnp.where(alive, safe, K - 1)       # vel/bias update incl. anchor
+    st2 = dataclasses.replace(
+        st,
+        kf_R=st.kf_R.at[widx].set(
+            jnp.where(upd[:, None, None], res.R, st.kf_R[widx])),
+        kf_t=st.kf_t.at[widx].set(
+            jnp.where(upd[:, None], res.t, st.kf_t[widx])),
+        kf_vel=st.kf_vel.at[vidx].set(
+            jnp.where(alive[:, None], res.v, st.kf_vel[vidx])),
+        kf_bias_g=st.kf_bias_g.at[vidx].set(
+            jnp.where(alive[:, None], res.bg, st.kf_bias_g[vidx])),
+        kf_bias_a=st.kf_bias_a.at[vidx].set(
+            jnp.where(alive[:, None], res.ba, st.kf_bias_a[vidx])),
+        lm_pos=jnp.where(st.lm_mask[:, None], res.lm_pos, st.lm_pos),
+    )
+    return st2
+
+
 @partial(jax.jit, static_argnames=("L_loc", "iters"))
 def local_inertial_ba(st: mstate.MapState, cam, kf_slots: jax.Array,
                       slot_valid: jax.Array, preints, edge_valid: jax.Array,

@@ -94,10 +94,15 @@ class System:
         if self.use_imu:
             from dani_slam_tpu.slam.inertial import InertialState
             self.tracker.inertial = InertialState(imu_calib)
-            self._kf_window_marks = []   # frame_windows index at each KF
-            self._recent_kfs = []        # temporal KF chain (slots)
+            self._kf_window_marks = []   # (slot, frame_id, window idx) / KF
+            self._recent_kfs = []        # temporal KF chain (slot, fid)
             self._recent_preints = []    # KF-to-KF preintegrations
             self.vi_window = 8           # Nd (reference uses 10)
+            # staged whole-map VI refinement (reference: VIBA1 at
+            # mTinit>5s, VIBA2 at >15s, src/LocalMapping.cc:204-233)
+            self._viba_stage = -1        # -1: not init; 0/1/2: stages done
+            self._t_imu_init = None
+            self._frame_marks = {}       # frame_id -> window count
 
     # -- frame entry points ----------------------------------------------
 
@@ -130,8 +135,21 @@ class System:
         frame (IMU_* sensors)."""
         if self.use_imu and imu_window is not None:
             self.tracker.inertial.integrate_frame(imu_window)
+        if self.use_imu:
+            # per-frame window count, so init keyframes (created inside the
+            # tracker, not via the keyframe step) can be back-annotated with
+            # their chain marks
+            self._frame_marks[self.tracker.frame_id] = len(
+                self.tracker.inertial.frame_windows)
+            while len(self._frame_marks) > 30:
+                self._frame_marks.pop(next(iter(self._frame_marks)))
         self.tracker.dynamic_ratio = dyn_ratio
         state, R, t = self.tracker.track(feat)
+        if self.use_imu and self.tracker.init_kfs:
+            for (slot, fid) in self.tracker.init_kfs:
+                self._kf_window_marks.append(
+                    (slot, fid, self._frame_marks.get(fid, 0)))
+            self.tracker.init_kfs = None
         if (self.tracker.pending_kf is not None and self.enable_mapping):
             self._keyframe_step()
         if state == tracking.LOST and \
@@ -158,6 +176,9 @@ class System:
             self._kf_window_marks = []
             self._recent_kfs = []
             self._recent_preints = []
+            self._viba_stage = -1
+            self._t_imu_init = None
+            self._frame_marks = {}
 
     # -- mapping (keyframe-rate) -----------------------------------------
 
@@ -296,25 +317,42 @@ class System:
         from dani_slam_tpu.slam import inertial as inert
         tr = self.tracker
         if tr.inertial.initialized:
+            # staged whole-map refinement after init (reference timers:
+            # VIBA1 at mTinit>5s with priors (1,1e5), VIBA2 at >15s with
+            # (0,0), src/LocalMapping.cc:204-233)
+            now = float(tr.st.kf_time[tr.ref_kf])
+            elapsed = now - (self._t_imu_init or now)
+            import dataclasses as _dc
+            if self._viba_stage == 0 and elapsed > 5.0:
+                self._run_full_inertial_ba(1.0, 1e5)
+                tr.st = _dc.replace(tr.st, imu_ba1=jnp.ones((), bool))
+                self._viba_stage = 1
+            elif self._viba_stage == 1 and elapsed > 15.0:
+                self._run_full_inertial_ba(0.0, 0.0)
+                tr.st = _dc.replace(tr.st, imu_ba2=jnp.ones((), bool))
+                self._viba_stage = 2
             if (tr.sensor == "mono" and
-                    len(self._kf_window_marks) % 6 == 0):
+                    len(self._kf_window_marks) % 3 == 0):
                 self._refine_imu_scale()
+                # mono triangulation drifts scale SEGMENT-wise; a global
+                # rescale alone shifts the error to older segments. The
+                # whole-chain VI BA redistributes it (the reference leans on
+                # LocalInertialBA + the 5s/15s FullInertialBA stages; at TPU
+                # cost a periodic full pass is cheap insurance)
+                if len(self._kf_window_marks) % 9 == 0:
+                    self._run_full_inertial_ba(1.0, 1e5, iters=6)
             return
         if len(self._kf_window_marks) < 5:
             return
-        # trailing contiguous run of marks whose keyframes are still alive:
-        # slot occupied AND holding the same frame id (slots are reused, so
-        # a mask check alone can pair a preintegration with a different
-        # keyframe). Within the run, kf slots and window bounds stay aligned
-        # by construction: len(kf_ids) == len(preints) + 1.
-        kf_mask = np.asarray(tr.st.kf_mask)
-        kf_fid = np.asarray(tr.st.kf_frame_id)
-        run = []
-        for slot, fid, mark in reversed(self._kf_window_marks):
-            if not (kf_mask[slot] and kf_fid[slot] == fid):
-                break
-            run.append((slot, fid, mark))
-        run.reverse()
+        # chain of marks whose keyframes are still alive: slot occupied AND
+        # holding the same frame id (slots are reused, so a mask check alone
+        # can pair a preintegration with a different keyframe). Window
+        # bounds between consecutive ALIVE marks remain correct across
+        # culled keyframes — the samples of the culled span merge into one
+        # preintegration (reference: Preintegrated::MergePrevious on KF
+        # culling, src/LocalMapping.cc:904). len(kf_ids)==len(preints)+1 by
+        # construction.
+        run = self._alive_chain()
         if len(run) < 5:
             return
         bounds = [(a[2], b[2]) for a, b in zip(run[:-1], run[1:])]
@@ -340,6 +378,75 @@ class System:
             if tr.vel is not None:
                 Rv, tv = tr.vel
                 tr.vel = (Rv, s_scl * tv)
+            # stage 0: FullInertialBA with the strong init priors
+            # (reference: InitializeIMU -> FullInertialBA(100, 1e10),
+            # src/LocalMapping.cc:1270-1320)
+            self._t_imu_init = float(tr.st.kf_time[kf_ids[-1]])
+            self._viba_stage = 0
+            self._run_full_inertial_ba(1e2, 1e10)
+
+    def _alive_chain(self):
+        """All recorded keyframe marks whose slot still holds the same
+        keyframe (frame-id match defends against slot reuse), in temporal
+        order."""
+        tr = self.tracker
+        kf_mask = np.asarray(tr.st.kf_mask)
+        kf_fid = np.asarray(tr.st.kf_frame_id)
+        return [(s, f, m) for (s, f, m) in self._kf_window_marks
+                if kf_mask[s] and kf_fid[s] == f]
+
+    def _run_full_inertial_ba(self, prior_g: float, prior_a: float,
+                              iters: int = 8):
+        """Whole-map VI BA over the alive keyframe chain; corrects the
+        tracker's current pose by the newest keyframe's update (reference:
+        the GBA/FullInertialBA results propagate to the current frame via
+        UpdateFrameIMU / spanning-tree propagation)."""
+        from dani_slam_tpu.core import lie
+        from dani_slam_tpu.ops import imu as imu_ops
+        from dani_slam_tpu.slam import inertial_mapping
+        import jax.tree_util as jtu
+        tr = self.tracker
+        chain = self._alive_chain()
+        if len(chain) < 4:
+            return
+        bounds = [(a[2], b[2]) for a, b in zip(chain[:-1], chain[1:])]
+        preints = tr.inertial.kf_chain_preintegrations(bounds)
+        slots = [s for s, _, _ in chain]
+        # pad to a power-of-two ladder size (bounds jit variants)
+        P_pad = 8
+        while P_pad < len(slots):
+            P_pad *= 2
+        P_pad = min(P_pad, self.caps.K)
+        if len(slots) > P_pad:          # chain exceeds capacity ladder
+            drop = len(slots) - P_pad
+            slots = slots[drop:]
+            preints = preints[drop:]
+        pad = P_pad - len(slots)
+        slot_arr = jnp.asarray([slots[0]] * pad + slots, jnp.int32)
+        valid = jnp.asarray([False] * pad + [True] * len(slots))
+        ident = imu_ops.identity_preintegration()
+        pre_list, edge_ok = [], []
+        for p in ([None] * pad + preints):
+            pre_list.append(p if p is not None else ident)
+            edge_ok.append(p is not None)
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *pre_list)
+        k_new = slots[-1]
+        R_old, t_old = tr.st.kf_R[k_new], tr.st.kf_t[k_new]
+        tr.st = inertial_mapping.full_inertial_ba_map(
+            tr.st, self.cam, slot_arr, valid, stacked,
+            jnp.asarray(edge_ok), tr.inertial.calib,
+            prior_g=prior_g, prior_a=prior_a, iters=iters)
+        # carry the newest KF's correction onto the tracker state so the
+        # next frame tracks against the refined map consistently
+        R_new, t_new = tr.st.kf_R[k_new], tr.st.kf_t[k_new]
+        R_rel, t_rel = lie.se3_mul(tr.R, tr.t, *lie.se3_inv(R_old, t_old))
+        tr.R, tr.t = lie.se3_mul(R_rel, t_rel, R_new, t_new)
+        Rl_rel, tl_rel = lie.se3_mul(tr.R_last, tr.t_last,
+                                     *lie.se3_inv(R_old, t_old))
+        tr.R_last, tr.t_last = lie.se3_mul(Rl_rel, tl_rel, R_new, t_new)
+        tr.inertial.v_w = tr.st.kf_vel[k_new]
+        tr.inertial.bias_g = tr.st.kf_bias_g[k_new]
+        tr.inertial.bias_a = tr.st.kf_bias_a[k_new]
 
     def _try_map_merge(self):
         """Weld the active map into a stored one when place recognition

@@ -68,7 +68,8 @@ def two_view_from_matches(key, cam, f0: FrameFeatures, f1: FrameFeatures,
 @jax.jit
 def build_initial_map(st: mstate.MapState, cam, f0: FrameFeatures,
                       f1: FrameFeatures, m: matching.Matches,
-                      tv: twoview.TwoViewResult, frame_id: jax.Array):
+                      tv: twoview.TwoViewResult, frame_id0: jax.Array,
+                      frame_id: jax.Array):
     """Create the initial two-keyframe map (reference:
     CreateInitialMapMonocular src/Tracking.cc:2546-2680 — insert 2 KFs +
     points, 20-iteration GBA, scale so median depth = 1)."""
@@ -97,7 +98,7 @@ def build_initial_map(st: mstate.MapState, cam, f0: FrameFeatures,
         jnp.where(good & (slots >= 0), slots, -1))
 
     st, k0 = mstate.insert_keyframe(
-        st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id - 1, f0.xy, f0.valid,
+        st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id0, f0.xy, f0.valid,
         f0.desc, f0.depth, jnp.zeros((N,), jnp.int8), bind0)
     st, k1 = mstate.insert_keyframe(
         st, tv.R21, t21, f1.time, frame_id, f1.xy, f1.valid, f1.desc,
@@ -376,6 +377,8 @@ class Tracker:
         self.last_kf_frame = -999
         self.frames_lost = 0
         self.new_kf: Optional[int] = None   # set when a KF was inserted
+        self.init_kfs = None     # [(slot, frame_id)] of init keyframes
+        self._init_feat_fid = 0
         self._traj_dev = []      # device-side (time, R, t) refs
         self._traj_host = []     # materialized numpy trajectory
         self._pending = []       # deferred decisions (pipelined mode)
@@ -437,6 +440,7 @@ class Tracker:
                 self.st, self.cam, feat, jnp.asarray(self.frame_id))
             self._post_init(feat, bind, jnp.eye(3), jnp.zeros(3), int(k0))
             self.new_kf = int(k0)
+            self.init_kfs = [(int(k0), self.frame_id)]
             return
 
         # monocular
@@ -444,6 +448,7 @@ class Tracker:
         if self.init_feat is None:
             if n_kp > 100:
                 self.init_feat = feat
+                self._init_feat_fid = self.frame_id
             return
         if n_kp <= 100:
             self.init_feat = None
@@ -451,6 +456,7 @@ class Tracker:
         m = match_for_init(self.init_feat, feat)
         if int(m.ok.sum()) < 100:
             self.init_feat = feat
+            self._init_feat_fid = self.frame_id
             return
         self.key, sub = jax.random.split(self.key)
         tv = two_view_from_matches(sub, self.cam, self.init_feat, feat, m)
@@ -458,9 +464,13 @@ class Tracker:
             return
         self.st, k0, k1, bind1, R, t = build_initial_map(
             self.st, self.cam, self.init_feat, feat, m, tv,
-            jnp.asarray(self.frame_id))
+            jnp.asarray(self._init_feat_fid), jnp.asarray(self.frame_id))
         self._post_init(feat, bind1, R, t, int(k1))
         self.new_kf = int(k1)
+        # init keyframes (slot, frame_id) for the System's IMU chain marks
+        # (they are created here, not via the keyframe step)
+        self.init_kfs = [(int(k0), self._init_feat_fid),
+                         (int(k1), self.frame_id)]
         self.init_feat = None
 
     def _post_init(self, feat, bind, R, t, ref_kf):

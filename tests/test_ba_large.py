@@ -14,6 +14,70 @@ from dani_slam_tpu.ops import ba as ba_ops  # noqa: E402
 from dani_slam_tpu.ops import ba_large  # noqa: E402
 
 
+class TestFullInertialBA:
+    """Whole-map VI BA via the Schur-free PCG path (reference:
+    Optimizer::FullInertialBA src/Optimizer.cc:392)."""
+
+    def _problem(self, **kw):
+        from test_viba import make_vi_problem, CAL
+        return make_vi_problem(**kw), CAL
+
+    def test_matches_viba_on_window(self):
+        from dani_slam_tpu.ops import viba
+        p, CAL = self._problem()
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        args = (p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)),
+                jnp.zeros((P, 3)), p["fixed"], p["lm0"], jnp.ones(L, bool),
+                CAM, p["obs_lm"], p["obs_xy"], p["obs_valid"], p["preints"],
+                jnp.ones(P - 1, bool), CAL)
+        ref = viba.viba_solve(*args, iters=10)
+        out = ba_large.full_inertial_ba(*args, iters=10, cg_iters=60)
+        R_t, t_t, v_t, pts = p["truth"]
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(t_t),
+                                   atol=0.03)
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(v_t),
+                                   atol=0.15)
+        # agrees with the explicit-Schur VI solver
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                                   atol=0.02)
+
+    def test_staged_bias_prior_pins_bias(self):
+        """With the strong stage-1 priors (1e2, 1e10) the solved biases must
+        stay pinned near zero even under noisy visuals (the reference's
+        first FullInertialBA stage, src/LocalMapping.cc:183-233)."""
+        p, CAL = self._problem(noise_px=1.0)
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        out = ba_large.full_inertial_ba(
+            p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)), jnp.zeros((P, 3)),
+            p["fixed"], p["lm0"], jnp.ones(L, bool), CAM,
+            p["obs_lm"], p["obs_xy"], p["obs_valid"], p["preints"],
+            jnp.ones(P - 1, bool), CAL, prior_g=1e2, prior_a=1e10,
+            iters=8, cg_iters=40)
+        assert float(jnp.abs(out.ba).max()) < 1e-3
+        assert np.isfinite(float(out.cost))
+
+    def test_tbc_variant(self):
+        from test_viba import _test_tbc
+        from dani_slam_tpu.ops import imu as imu_ops
+        R_bc, t_bc = _test_tbc()
+        p, CAL = self._problem(tbc=(R_bc, t_bc))
+        calib = imu_ops.ImuCalib(
+            CAL.noise_gyro, CAL.noise_acc, CAL.walk_gyro, CAL.walk_acc,
+            jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc, jnp.float32))
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        out = ba_large.full_inertial_ba(
+            p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)), jnp.zeros((P, 3)),
+            p["fixed"], p["lm0"], jnp.ones(L, bool), CAM,
+            p["obs_lm"], p["obs_xy"], p["obs_valid"], p["preints"],
+            jnp.ones(P - 1, bool), calib, iters=10, cg_iters=60)
+        R_t, t_t, v_t, pts = p["truth"]
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(t_t),
+                                   atol=0.03)
+
+
 class TestPCGEquivalence:
     def test_matches_explicit_schur(self):
         (R0, t0, fixed, lm0, lmv, okf, olm, oxy, ov,

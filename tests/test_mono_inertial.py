@@ -100,13 +100,18 @@ class TestMonoInertial:
         keep = d_gt > 0.2       # skip near-identical KF pairs
         ratios = d_est[keep] / d_gt[keep]
         scale_errs = np.abs(ratios - 1.0)
-        # without a scale estimate, mono distances would be ~10x off; the
-        # inertial pipeline must bring the WHOLE map within 25% of metric
-        # (mono triangulation drifts scale between inertial solves; closing
-        # the residual gradient needs FullInertialBA over all KFs — round 2)
-        assert np.median(scale_errs) < 0.25, (
+        # without a scale estimate, mono distances would be ~10x off; with
+        # gravity/scale init + staged FullInertialBA (stage 0 at init,
+        # VIBA1 at 5s — reference profile: <5% at 2s, src/Changelog.md:38)
+        # the WHOLE map must be within ~8% of metric, including the two
+        # initialization keyframes
+        assert np.median(scale_errs) < 0.08, (
             f"map not metric: median scale error "
             f"{np.median(scale_errs):.2%}, ratios {ratios.round(3)}")
+        assert np.max(scale_errs) < 0.15, (
+            f"segment off-metric: max scale error "
+            f"{np.max(scale_errs):.2%}, ratios {ratios.round(3)}")
+        assert sys._viba_stage >= 0, "FullInertialBA stage 0 never ran"
 
         # gravity alignment: world -z is gravity after init, so the orbit
         # plane normal (world y in truth) maps to a fixed axis; check the
