@@ -88,6 +88,15 @@ class Settings:
     k_equi: tuple = (0.0, 0.0, 0.0, 0.0)     # KannalaBrandt8
     fps: float = 30.0
     baseline: float = 0.0                    # stereo
+    # second stereo camera + extrinsics (new-format Camera2.* +
+    # Stereo.T_c1_c2; reference: Settings::readCamera2, src/Settings.cc)
+    fx2: float = 0.0
+    fy2: float = 0.0
+    cx2: float = 0.0
+    cy2: float = 0.0
+    dist2: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+    k_equi2: tuple = (0.0, 0.0, 0.0, 0.0)
+    stereo_t_c1_c2: Optional[tuple] = None   # 16 row-major (c1-from-c2)
     depth_map_factor: float = 5000.0         # RGB-D (TUM3.yaml:35)
     th_depth: float = 40.0                   # far-point threshold
     # features (reference ORB section drives SPextractor thresholds,
@@ -137,6 +146,17 @@ class Settings:
         s.k_equi = tuple(float(g(f"Camera1.k{i}", default=0.0))
                          for i in range(4))
         s.fps = float(g("Camera.fps", default=s.fps))
+        s.fx2 = float(g("Camera2.fx", default=0.0))
+        s.fy2 = float(g("Camera2.fy", default=0.0))
+        s.cx2 = float(g("Camera2.cx", default=0.0))
+        s.cy2 = float(g("Camera2.cy", default=0.0))
+        s.dist2 = tuple(float(g(f"Camera2.{k}", default=0.0))
+                        for k in ("k1", "k2", "p1", "p2", "k3"))
+        s.k_equi2 = tuple(float(g(f"Camera2.k{i}", default=0.0))
+                          for i in range(4))
+        tc12 = g("Stereo.T_c1_c2")
+        if tc12 is not None and len(tc12) == 16:
+            s.stereo_t_c1_c2 = tuple(float(x) for x in tc12)
         s.baseline = float(g("Camera.bf", "Stereo.b", default=0.0))
         if g("Camera.bf") is not None:
             s.baseline = float(g("Camera.bf")) / s.fx
@@ -188,3 +208,30 @@ class Settings:
                                    *self.k_equi, self.width, self.height)
         return _cam.Camera.pinhole(self.fx, self.fy, self.cx, self.cy,
                                    self.width, self.height, dist=self.dist)
+
+    def camera2(self) -> Optional[_cam.Camera]:
+        if self.fx2 <= 0:
+            return None
+        if self.camera_type.lower() in ("kannalabrandt8", "fisheye"):
+            return _cam.Camera.kb8(self.fx2, self.fy2, self.cx2, self.cy2,
+                                   *self.k_equi2, self.width, self.height)
+        return _cam.Camera.pinhole(self.fx2, self.fy2, self.cx2, self.cy2,
+                                   self.width, self.height, dist=self.dist2)
+
+    def stereo_rectifier(self):
+        """Precompute rectification maps when stereo extrinsics are present
+        (reference: Settings computes M1l/M2l/M1r/M2r, src/Settings.cc;
+        applied per frame at src/System.cc:262-279). Returns None when the
+        config has no Camera2/T_c1_c2 (pre-rectified datasets)."""
+        cam2 = self.camera2()
+        if cam2 is None or self.stereo_t_c1_c2 is None:
+            return None
+        import numpy as np
+        from dani_slam_tpu.ops import rectify as rect_ops
+        T12 = np.asarray(self.stereo_t_c1_c2, np.float64).reshape(4, 4)
+        # T_c1_c2 maps cam2 coords into cam1; the rectifier wants
+        # cam2-from-cam1: x2 = R x1 + T
+        R = T12[:3, :3].T
+        T = -T12[:3, :3].T @ T12[:3, 3]
+        return rect_ops.build_rectifier(self.camera(), cam2, R, T,
+                                        (self.width, self.height))

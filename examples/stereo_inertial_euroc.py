@@ -28,7 +28,16 @@ def main():
     from dani_slam_tpu.utils import io as io_utils
 
     settings = cfg.Settings.from_yaml(args.settings)
-    cam = settings.camera()
+    # EuRoC ships UNRECTIFIED stereo: build the remap grids once (reference:
+    # Settings M1l/... + cv::remap at src/System.cc:262-279)
+    rectifier = settings.stereo_rectifier()
+    if rectifier is not None:
+        cam = rectifier.cam
+        baseline = rectifier.baseline
+        print(f"stereo rectification on: baseline={baseline:.4f} m")
+    else:
+        cam = settings.camera()
+        baseline = settings.baseline
     sensor = Sensor.STEREO if args.no_imu else Sensor.IMU_STEREO
     sys_ = System(cam, sensor,
                   caps=mstate.MapCaps(N=settings.n_features),
@@ -47,8 +56,10 @@ def main():
     for i, (ts, lpath) in enumerate(left):
         img_l = io_utils.load_image(lpath)
         img_r = io_utils.load_image(right[i][1]) if i < len(right) else img_l
+        if rectifier is not None:
+            img_l, img_r = rectifier(jnp.asarray(img_l), jnp.asarray(img_r))
         feat = frame_mod.build_frame_stereo(
-            sys_._sp(), img_l, img_r, cam, settings.baseline, ts,
+            sys_._sp(), img_l, img_r, cam, baseline, ts,
             n_max=sys_.n_features)
         win = None
         if imu_t is not None and prev_t is not None:
