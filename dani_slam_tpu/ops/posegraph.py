@@ -116,6 +116,89 @@ def optimize_essential_graph(R: jax.Array, t: jax.Array, s: jax.Array,
     return R_o, t_o, s_o
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_essential_graph_4dof(R: jax.Array, t: jax.Array,
+                                  edge_mask: jax.Array,
+                                  R_meas: jax.Array, t_meas: jax.Array,
+                                  fixed: jax.Array, node_mask: jax.Array,
+                                  iters: int = 12):
+    """Yaw+translation pose graph for gravity-aligned (inertial) maps
+    (reference: Optimizer::OptimizeEssentialGraph4DoF src/Optimizer.cc:5292,
+    VertexPose4DoF/Edge4DoF include/G2oTypes.h:155,817).
+
+    Nodes are SE3 camera-from-world; the per-node update is a WORLD-frame
+    yaw rotation (about gravity) + world translation (ImuCamPose::UpdateW),
+    so pitch/roll — fixed by the IMU — are never disturbed. Edge residual
+    matches Edge4DoF: rotation log + camera-origin difference.
+    """
+    K = R.shape[0]
+    eidx = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
+                                  indexing='ij'), axis=-1).reshape(-1, 2)
+    emask = (edge_mask & node_mask[:, None] & node_mask[None, :]).reshape(-1)
+    i_all = eidx[:, 0]
+    j_all = eidx[:, 1]
+
+    def apply(xi, Rn, tn):
+        Rz = lie.so3_exp(jnp.concatenate([jnp.zeros(2), xi[:1]]))
+        Rwc = Rn.T
+        C = -Rwc @ tn
+        Rwc2 = Rz @ Rwc
+        C2 = C + xi[1:4]
+        R2 = Rwc2.T
+        return R2, -R2 @ C2
+
+    def residual_edge(xi_i, xi_j, Ri, ti, Rj, tj, Rm, tm):
+        Ri2, ti2 = apply(xi_i, Ri, ti)
+        Rj2, tj2 = apply(xi_j, Rj, tj)
+        er = lie.so3_log(Ri2 @ Rj2.T @ Rm.T)
+        et = Ri2 @ (-Rj2.T @ tj2) + ti2 - tm
+        return jnp.concatenate([er, et])
+
+    def gn(_, carry):
+        R_c, t_c = carry
+        zero = jnp.zeros(4)
+
+        def edge_rJ(i, j):
+            args = (R_c[i], t_c[i], R_c[j], t_c[j], R_meas[i, j],
+                    t_meas[i, j])
+            r = residual_edge(zero, zero, *args)
+            Ji = jax.jacfwd(lambda x: residual_edge(x, zero, *args))(zero)
+            Jj = jax.jacfwd(lambda x: residual_edge(zero, x, *args))(zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(edge_rJ)(i_all, j_all)
+        w = emask.astype(jnp.float32)
+        H = jnp.zeros((K, K, 4, 4))
+        H = H.at[i_all, i_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Ji, Ji))
+        H = H.at[j_all, j_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Jj, Jj))
+        H = H.at[i_all, j_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Ji, Jj))
+        H = H.at[j_all, i_all].add(w[:, None, None] *
+                                   jnp.einsum('eik,eil->ekl', Jj, Ji))
+        g = jnp.zeros((K, 4))
+        g = g.at[i_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Ji, r))
+        g = g.at[j_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Jj, r))
+
+        freeze = fixed | ~node_mask
+        keep = (~freeze).astype(jnp.float32)
+        H = H * keep[:, None, None, None] * keep[None, :, None, None]
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            freeze[:, None, None].astype(jnp.float32) * jnp.eye(4))
+        g = g * keep[:, None]
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(4 * K, 4 * K)
+        Hd = Hd + 1e-6 * jnp.eye(4 * K)
+        dx = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(K, 4)
+        dx = dx * keep[:, None]
+        R_n, t_n = jax.vmap(apply)(dx, R_c, t_c)
+        return (lie.orthonormalize(R_n), t_n)
+
+    R_o, t_o = jax.lax.fori_loop(0, iters, gn, (R, t))
+    return R_o, t_o
+
+
 def build_essential_edges(covis: jax.Array, spanning_parent: jax.Array,
                           loop_edges: jax.Array, kf_mask: jax.Array,
                           covis_th: int = 100):

@@ -86,9 +86,13 @@ def optimize_sim3(cam1, cam2, R0, t0, s0, pts1_c, obs1_xy, pts2_c, obs2_xy,
                   mask, iters: int = 10, fix_scale: bool = False,
                   chi2_th: float = 9.21):
     """Refine a relative Sim3 with point reprojection edges in both
-    directions (reference: Optimizer::OptimizeSim3 src/Optimizer.cc:2115).
+    directions and Huber kernels (delta = sqrt(10), matching the reference:
+    Optimizer::OptimizeSim3 src/Optimizer.cc:2115 — without the robust
+    kernel, drifted-map structure systematically biases the scale: the
+    pixel-space ML fit trades scale against translation on the worst pairs).
     Returns (R, t, s, inliers, n_inliers)."""
     xi0 = jnp.zeros(7)
+    delta = 10.0 ** 0.5
 
     def residuals(xi, R, t, s):
         dR, dt, ds = lie.sim3_exp(xi)
@@ -104,14 +108,26 @@ def optimize_sim3(cam1, cam2, R0, t0, s0, pts1_c, obs1_xy, pts2_c, obs2_xy,
         r1, r2 = residuals(jnp.zeros(7), R, t, s)
         return jnp.sum(r1 * r1, -1) + jnp.sum(r2 * r2, -1)
 
+    def rho(c):
+        sq = jnp.sqrt(jnp.maximum(c, 1e-12))
+        return jnp.where(sq <= delta, c, 2 * delta * sq - delta * delta)
+
     def gn(it, carry):
         R, t, s, inl = carry
+        r1c, r2c = residuals(xi0, R, t, s)
+        c1 = jnp.sum(r1c * r1c, -1)
+        c2 = jnp.sum(r2c * r2c, -1)
+        w1 = jnp.where(jnp.sqrt(jnp.maximum(c1, 1e-12)) <= delta, 1.0,
+                       delta / jnp.sqrt(jnp.maximum(c1, 1e-12)))
+        w2 = jnp.where(jnp.sqrt(jnp.maximum(c2, 1e-12)) <= delta, 1.0,
+                       delta / jnp.sqrt(jnp.maximum(c2, 1e-12)))
 
         def flat_res(xi):
             r1, r2 = residuals(xi, R, t, s)
-            w = jnp.where(inl, 1.0, 0.0)
-            return jnp.concatenate([(r1 * w[:, None]).reshape(-1),
-                                    (r2 * w[:, None]).reshape(-1)])
+            wm = jnp.where(inl, 1.0, 0.0)
+            return jnp.concatenate([
+                (r1 * (wm * jnp.sqrt(w1))[:, None]).reshape(-1),
+                (r2 * (wm * jnp.sqrt(w2))[:, None]).reshape(-1)])
 
         r = flat_res(xi0)
         J = jax.jacfwd(flat_res)(xi0)
@@ -123,8 +139,10 @@ def optimize_sim3(cam1, cam2, R0, t0, s0, pts1_c, obs1_xy, pts2_c, obs2_xy,
             dx = dx.at[6].set(0.0)
         dR, dt, ds = lie.sim3_exp(dx)
         Rn, tn, sn = lie.sim3_mul(dR, dt, ds, R, t, s)
-        better = jnp.sum(jnp.where(inl, chi2(Rn, tn, sn), 0.0)) < \
-            jnp.sum(jnp.where(inl, chi2(R, t, s), 0.0))
+
+        def rob_cost(R_, t_, s_):
+            return jnp.sum(jnp.where(inl, rho(chi2(R_, t_, s_)), 0.0))
+        better = rob_cost(Rn, tn, sn) < rob_cost(R, t, s)
         R = jnp.where(better, Rn, R)
         t = jnp.where(better, tn, t)
         s = jnp.where(better, sn, s)

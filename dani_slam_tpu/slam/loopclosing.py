@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dani_slam_tpu.core import cameras as _cam
 from dani_slam_tpu.core import lie, state as mstate
@@ -110,10 +111,10 @@ def verify_loop_candidate(st: mstate.MapState, cam, kf_cur: jax.Array,
 # Loop correction
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("pg_iters", "fix_scale"))
+@partial(jax.jit, static_argnames=("pg_iters", "fix_scale", "four_dof"))
 def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
                  kf_cand: jax.Array, T12, pg_iters: int = 10,
-                 fix_scale: bool = False):
+                 fix_scale: bool = False, four_dof: bool = False):
     """Apply a verified loop closure (reference: CorrectLoop
     src/LoopClosing.cc:970-1215).
 
@@ -122,8 +123,12 @@ def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
       2. essential-graph optimization with the loop edge added; relative
          measurements are the PRE-correction relative poses (odometry), the
          loop edge carries T12, and the candidate side is the gauge anchor.
+         four_dof selects the yaw+translation graph for gravity-aligned
+         inertial maps (reference: OptimizeEssentialGraph4DoF,
+         src/LoopClosing.cc:1179-1184).
       3. landmarks re-expressed through their reference keyframe's
-         correction: X' = T_k'^-1 * T_k * X.
+         correction: X' = S_k'^-1 * (T_k X) — the exact per-KF Sim3
+         write-back (src/LoopClosing.cc:1009-1120).
     """
     K = st.caps.K
     R12, t12, s12 = T12
@@ -139,25 +144,43 @@ def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
     # edges + measurements from pre-correction relative poses
     edges = posegraph.build_essential_edges(
         st.covis, st.spanning_parent, loop_edges, st.kf_mask, covis_th=30)
-    Rm, tm, sm = jax.vmap(lambda Ri, ti, si: jax.vmap(
-        lambda Rj, tj, sj: posegraph.relative_sim3(Ri, ti, si, Rj, tj, sj))(
-        R_all, t_all, s_all))(R_all, t_all, s_all)
-    # overwrite the loop edge measurement with the verified T12:
-    # T_cur_corrected = T12 * T_cand  =>  T_rel(cur,cand) measured = T12
-    Rm = Rm.at[kf_cur, kf_cand].set(R12)
-    tm = tm.at[kf_cur, kf_cand].set(t12)
-    sm = sm.at[kf_cur, kf_cand].set(s12)
-    Ri12, ti12, si12 = lie.sim3_inv(R12, t12, s12)
-    Rm = Rm.at[kf_cand, kf_cur].set(Ri12)
-    tm = tm.at[kf_cand, kf_cur].set(ti12)
-    sm = sm.at[kf_cand, kf_cur].set(si12)
-
     fixed = jnp.zeros((K,), bool).at[kf_cand].set(True)
-    R_new, t_new, s_new = posegraph.optimize_essential_graph(
-        R_all, t_all, s_all, edges, Rm, tm, sm, fixed, st.kf_mask,
-        iters=pg_iters, fix_scale=fix_scale)
 
-    # landmark correction via reference keyframe: X' = T_k'^-1 * (T_k X)
+    if four_dof:
+        # relative SE3 measurements (scale forced to 1 by the caller's
+        # yaw-only clamp); Edge4DoF convention: dR = Ri Rj^T, dt = origin of
+        # cam j in cam i
+        Rm = jnp.einsum('iab,jcb->ijac', R_all, R_all)         # Ri Rj^T
+        Cj_in_i = (-jnp.einsum('ijab,jb->ija', Rm, t_all) +
+                   t_all[:, None, :])                          # Ri(-Rj^T tj)+ti
+        Rm = Rm.at[kf_cur, kf_cand].set(R12)
+        Cj_in_i = Cj_in_i.at[kf_cur, kf_cand].set(t12)
+        Ri12, ti12, _ = lie.sim3_inv(R12, t12, jnp.ones(()))
+        Rm = Rm.at[kf_cand, kf_cur].set(Ri12)
+        Cj_in_i = Cj_in_i.at[kf_cand, kf_cur].set(ti12)
+        R_new, t_new = posegraph.optimize_essential_graph_4dof(
+            R_all, t_all, edges, Rm, Cj_in_i, fixed, st.kf_mask,
+            iters=pg_iters)
+        s_new = jnp.ones((K,))
+    else:
+        Rm, tm, sm = jax.vmap(lambda Ri, ti, si: jax.vmap(
+            lambda Rj, tj, sj: posegraph.relative_sim3(Ri, ti, si, Rj, tj,
+                                                       sj))(
+            R_all, t_all, s_all))(R_all, t_all, s_all)
+        # overwrite the loop edge measurement with the verified T12:
+        # T_cur_corrected = T12 * T_cand  =>  T_rel(cur,cand) measured = T12
+        Rm = Rm.at[kf_cur, kf_cand].set(R12)
+        tm = tm.at[kf_cur, kf_cand].set(t12)
+        sm = sm.at[kf_cur, kf_cand].set(s12)
+        Ri12, ti12, si12 = lie.sim3_inv(R12, t12, s12)
+        Rm = Rm.at[kf_cand, kf_cur].set(Ri12)
+        tm = tm.at[kf_cand, kf_cur].set(ti12)
+        sm = sm.at[kf_cand, kf_cur].set(si12)
+        R_new, t_new, s_new = posegraph.optimize_essential_graph(
+            R_all, t_all, s_all, edges, Rm, tm, sm, fixed, st.kf_mask,
+            iters=pg_iters, fix_scale=fix_scale)
+
+    # landmark correction via reference keyframe: X' = S_k'^-1 * (T_k X)
     ref = jnp.clip(st.lm_ref_kf, 0, K - 1)
     Rk_old = R_all[ref]
     tk_old = t_all[ref]
@@ -169,13 +192,20 @@ def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
     X_new = lie.sim3_apply(Rki, tki, ski, Xc)
     lm_pos = jnp.where(st.lm_mask[:, None], X_new, st.lm_pos)
 
-    # write back: convert sim3 poses to SE3 by folding scale into translation
-    # (camera-from-world: x_c = s R x_w + t  ==  R x_w + t with rescaled map;
-    # after landmark correction above, s is consumed, so keep R, t/1)
+    # SE3 write-back: T_k = [R_k, t_k / s_k] — the reference's exact
+    # conversion (CorrectedSim3 -> SetPose with eigt *= 1/s,
+    # src/LoopClosing.cc:1009-1120). Combined with the landmark correction
+    # above (which consumes the full Sim3), reprojection is preserved
+    # exactly; camera-frame depths rescale by 1/s_k consistently with the
+    # rescaled map.
     R_out = lie.orthonormalize(R_new)
     t_out = t_new / jnp.maximum(s_new[:, None], 1e-9)
-    # NOTE: for the visual (fix_scale) case s==1 and this is exact.
+    # scale-invariance bands of landmarks follow their reference KF's scale
+    inv_s = 1.0 / jnp.maximum(sk_new, 1e-9)
+    dist_min = jnp.where(st.lm_mask, st.lm_dist_min * inv_s, st.lm_dist_min)
+    dist_max = jnp.where(st.lm_mask, st.lm_dist_max * inv_s, st.lm_dist_max)
     return dataclasses.replace(st, kf_R=R_out, kf_t=t_out, lm_pos=lm_pos,
+                               lm_dist_min=dist_min, lm_dist_max=dist_max,
                                loop_edges=loop_edges)
 
 
@@ -232,7 +262,15 @@ def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10):
     from dani_slam_tpu.ops import ba_large
     K, N = st.obs_lm.shape
     first = jnp.argmax(st.kf_mask)          # lowest occupied slot
-    pose_fixed = (~st.kf_mask) | (jnp.arange(K) == first)
+    # two anchors: the origin KF and its strongest covisible partner — a
+    # single fixed pose leaves the monocular SCALE gauge free, letting GBA
+    # drift the whole map's scale (the reference fixes only the init KF and
+    # relies on staying near the initialization; pinning the second anchor
+    # makes the gauge explicit)
+    cov_row = jnp.where(st.kf_mask, st.covis[first], -1).at[first].set(-1)
+    second = jnp.argmax(cov_row)
+    pose_fixed = ((~st.kf_mask) | (jnp.arange(K) == first) |
+                  ((jnp.arange(K) == second) & (cov_row[second] > 0)))
     okf = jnp.repeat(jnp.arange(K), N)
     olm = st.obs_lm.reshape(-1)
     oxy = st.kf_kp.reshape(-1, 2)
@@ -299,6 +337,36 @@ def relocalize_against_kf_lightglue(st: mstate.MapState, cam, kf: jax.Array,
     bind = bind.at[jnp.where(okrow, idx, feat_xy.shape[0] - 1)].max(
         jnp.where(okrow, lm_ids, -1))
     return res.R, res.t, bind, res.n_inliers, res.ok
+
+
+def inertial_loop_gate(st: mstate.MapState, kf: int, cand: int, T12,
+                       ba2: bool = False,
+                       max_tilt: float = 0.008, max_yaw: float = 0.349):
+    """Gravity-consistency gate for loops on inertial maps (reference:
+    src/LoopClosing.cc:236-262). The loop's implied world correction
+    S_ww = T_wc_cur * (T12 * T_cand) must not tilt a gravity-aligned map:
+    |pitch|,|roll| < 0.008 rad and |yaw| < 0.349 — else BAD LOOP. Once
+    VIBA2 refined the map (ba2), the correction is clamped to yaw-only with
+    scale 1 and the caller should use the 4-DoF essential graph.
+
+    Returns (T12', four_dof, good)."""
+    R12, t12, s12 = T12
+    one = jnp.ones(())
+    Scw = lie.sim3_mul(R12, t12, s12, st.kf_R[cand], st.kf_t[cand], one)
+    Twc = lie.sim3_inv(st.kf_R[kf], st.kf_t[kf], one)
+    Rww, tww, sww = lie.sim3_mul(*Twc, *Scw)
+    phi = np.asarray(lie.so3_log(Rww))
+    if not (abs(phi[0]) < max_tilt and abs(phi[1]) < max_tilt and
+            abs(phi[2]) < max_yaw):
+        return T12, False, False
+    if ba2:
+        yaw_only = jnp.asarray([0.0, 0.0, float(phi[2])])
+        Rww_c = lie.so3_exp(yaw_only)
+        Scw_c = lie.sim3_mul(st.kf_R[kf], st.kf_t[kf], one, Rww_c, tww, one)
+        T12 = lie.sim3_mul(*Scw_c, *lie.sim3_inv(st.kf_R[cand],
+                                                 st.kf_t[cand], one))
+        return T12, True, True
+    return T12, False, True
 
 
 class LoopCloser:
@@ -376,8 +444,17 @@ class LoopCloser:
         if not bool(ok):
             return st
 
+        four_dof = False
+        if bool(st.imu_initialized):
+            T12, four_dof, good = inertial_loop_gate(
+                st, kf, best, T12, ba2=bool(st.imu_ba2))
+            if not good:
+                self._streak = 0
+                self._streak_cand = -1
+                return st          # BAD LOOP
+
         st = correct_loop(st, self.cam, jnp.asarray(kf), jnp.asarray(best),
-                          T12, fix_scale=self.fix_scale)
+                          T12, fix_scale=self.fix_scale, four_dof=four_dof)
         st = search_and_fuse(st, self.cam, jnp.asarray(kf),
                              jnp.asarray(best))
         if self.run_gba:

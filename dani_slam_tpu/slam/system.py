@@ -459,9 +459,26 @@ class System:
         self._reloc_key, sub = jax.random.split(self._reloc_key)
         fix_scale = tr.sensor in ("rgbd", "stereo")
 
+        imu_on = self.use_imu and bool(tr.st.imu_initialized)
+        imu_ba1 = imu_on and bool(tr.st.imu_ba1)
+
         def verify(st_a, st_b, kf_a, kf_b, key):
-            return lc.verify_cross_map_candidate(
+            T12, n, ok = lc.verify_cross_map_candidate(
                 st_a, st_b, self.cam, kf_a, kf_b, key, fix_scale=fix_scale)
+            # inertial merge gates (reference: src/LoopClosing.cc:145-178):
+            # reject scale outside [0.9, 1.1]; after VIBA1, clamp the
+            # relative rotation to yaw-only (gravity is shared)
+            if imu_on and bool(ok):
+                R12, t12, s12 = T12
+                if not (0.90 < float(s12) < 1.1):
+                    return T12, n, jnp.zeros((), bool)
+                if imu_ba1:
+                    from dani_slam_tpu.core import lie
+                    phi = np.asarray(lie.so3_log(R12))
+                    R_yaw = lie.so3_exp(
+                        jnp.asarray([0.0, 0.0, float(phi[2])]))
+                    T12 = (R_yaw, t12, jnp.ones(()))
+            return T12, n, ok
 
         out = self.atlas.try_merge(tr.st, self.cam, tr.ref_kf, qbow, sub,
                                    verify)

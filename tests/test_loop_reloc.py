@@ -56,7 +56,8 @@ class TestLoopClosing:
     map, returning to a known area usually rebinds old landmarks directly
     and no explicit loop is needed)."""
 
-    def _drifted_loop_state(self, K=12, n_lm_per_kf=80, drift=0.35):
+    def _drifted_loop_state(self, K=12, n_lm_per_kf=80, drift=0.35,
+                            scale_drift=1.0):
         from dani_slam_tpu.core import lie
         world = synthetic.make_world(2000, desc_dim=64, seed=2)
         R_gt, t_gt = synthetic.orbit_trajectory(K, radius=10.0,
@@ -65,18 +66,39 @@ class TestLoopClosing:
         rng = np.random.RandomState(0)
         kf_ids = []
         world2lm = {}        # world point id -> landmark slot (chain memory)
+        C_prev_est = None
         for k in range(K):
             # drift ramps up along the trajectory (none at k=0)
             a = drift * k / (K - 1)
             dxi = jnp.asarray([a, 0.5 * a, 0.0, 0.0, 0.05 * a, 0.0],
                               jnp.float32)
             dR, dt = lie.se3_exp(dxi)
-            R_est = dR @ R_gt[k]
-            t_est = dR @ t_gt[k] + dt
+            # mono-style scale drift: each segment's length (and the local
+            # structure created at that keyframe) is off by s_k, ramping
+            # 1 -> scale_drift along the chain
+            s_k = 1.0 + (scale_drift - 1.0) * k / (K - 1)
+            if scale_drift != 1.0:
+                C_gt_k = -np.asarray(R_gt[k]).T @ np.asarray(t_gt[k])
+                if C_prev_est is None:
+                    C_est = C_gt_k
+                else:
+                    C_gt_p = -np.asarray(R_gt[k - 1]).T @ np.asarray(
+                        t_gt[k - 1])
+                    C_est = C_prev_est + s_k * (C_gt_k - C_gt_p)
+                C_prev_est = C_est
+                R_est = R_gt[k]
+                t_est = jnp.asarray(-np.asarray(R_gt[k]) @ C_est,
+                                    jnp.float32)
+            else:
+                R_est = dR @ R_gt[k]
+                t_est = dR @ t_gt[k] + dt
 
             feat, tid = synthetic.render_frame(
                 world, CAM, R_gt[k], t_gt[k], n_max=CAPS.N, noise_px=0.2,
                 seed=100 + k, with_depth=True, time=k / 5.0)
+            if scale_drift != 1.0:
+                # local structure scale follows the drifted segment scale
+                feat = feat._replace(depth=feat.depth * s_k)
             # landmarks: create from depth at the ESTIMATED pose (consistent
             # with the drifted trajectory, like real accumulated drift); but
             # REBIND world points already seen by the PREVIOUS keyframe so a
@@ -154,6 +176,105 @@ class TestLoopClosing:
         assert last_after < last_before * 0.15, (
             f"loop end not closed: {last_before=:.3f} {last_after=:.3f}")
         assert after < before * 0.65, f"{before=:.3f} {after=:.3f}"
+
+
+    def test_mono_scale_drift_corrected(self):
+        """Injected mono scale drift (x1.3 by the loop end) must be
+        corrected by the Sim3 essential graph + exact per-KF Sim3->SE3
+        write-back (reference: CorrectLoop src/LoopClosing.cc:1009-1120)."""
+        from dani_slam_tpu.slam import loopclosing as lc
+        st, kf_ids, (R_gt, t_gt), world = self._drifted_loop_state(
+            drift=0.0, scale_drift=1.3)
+        cur = jnp.asarray(kf_ids[-1])
+        cand = jnp.asarray(kf_ids[0])
+        T12, n, ok = lc.verify_loop_candidate(
+            st, CAM, cur, cand, jax.random.PRNGKey(0), fix_scale=False,
+            min_inliers=20)
+        assert bool(ok), f"verification failed, inliers={int(n)}"
+        # the verifier must see the drifted scale (cur segment ~1.3x cand)
+        s12 = float(T12[2])
+        assert 1.1 < s12 < 1.5, f"scale not detected: {s12=}"
+
+        st2 = lc.correct_loop(st, CAM, cur, cand, T12, fix_scale=False)
+
+        def seg_ratios(state):
+            C = [-np.asarray(state.kf_R[k]).T @ np.asarray(state.kf_t[k])
+                 for k in kf_ids]
+            Cg = [-np.asarray(R_gt[i]).T @ np.asarray(t_gt[i])
+                  for i in range(len(kf_ids))]
+            d = np.linalg.norm(np.diff(np.stack(C), axis=0), axis=1)
+            dg = np.linalg.norm(np.diff(np.stack(Cg), axis=0), axis=1)
+            return d / np.maximum(dg, 1e-9)
+        before = np.abs(seg_ratios(st) - 1.0)
+        after = np.abs(seg_ratios(st2) - 1.0)
+        # before: ramps to ~30%; the Sim3 graph + per-KF write-back must at
+        # least halve every segment's error (the exact end value is limited
+        # by the verifier's s12 estimate on mixed-scale structure)
+        assert before.max() > 0.25
+        assert after.max() < before.max() * 0.5, (
+            f"scale drift not halved: {after.round(3)}")
+        assert np.median(after) < 0.10, (
+            f"median scale error {np.median(after):.2%} ({after.round(3)})")
+        # the FULL pipeline (fuse duplicates + GBA, as on_keyframe runs it)
+        # eliminates the drift: remaining segment ratios are uniform (any
+        # residual common factor is the mono gauge, not drift)
+        st3 = lc.search_and_fuse(st2, CAM, cur, cand)
+        st4 = lc.global_bundle_adjustment(st3, CAM)
+        r4 = seg_ratios(st4)
+        # the injected ramp (1.0 -> 1.3, std ~0.09) must be crushed to a
+        # near-uniform profile; the Huber kernels leave a small residual
+        # wiggle on this deliberately inconsistent structure
+        assert np.std(r4) < 0.03, f"drift survives GBA: {r4.round(3)}"
+        assert np.abs(np.median(r4) - 1.0) < 0.07, (
+            f"map scale off: {np.median(r4):.3f}")
+        # landmarks must stay consistent with the rescaled poses:
+        # reprojection through the corrected final KF stays small
+        k = kf_ids[-1]
+        obs = np.asarray(st2.obs_lm[k])
+        sel = obs >= 0
+        lm = np.asarray(st2.lm_pos)[obs[sel]]
+        from dani_slam_tpu.core import cameras as camod
+        pc = np.asarray(st2.kf_R[k]) @ lm.T + np.asarray(
+            st2.kf_t[k])[:, None]
+        px = np.asarray(camod.project(CAM, jnp.asarray(pc.T, jnp.float32)))
+        err = np.linalg.norm(px - np.asarray(st2.kf_kp[k])[sel], axis=1)
+        assert np.median(err) < 2.0, f"reproj after correction: {err[:5]}"
+
+    def test_inertial_loop_gate(self):
+        """Pitch/roll-violating loops are rejected on inertial maps; after
+        VIBA2 the accepted correction is clamped to yaw-only (reference:
+        src/LoopClosing.cc:236-262)."""
+        from dani_slam_tpu.core import lie
+        from dani_slam_tpu.slam import loopclosing as lc
+        st, kf_ids, _, _ = self._drifted_loop_state(K=6, drift=0.0)
+        cur, cand = kf_ids[-1], kf_ids[0]
+        # a loop hypothesis implying a 0.1 rad pitch of the whole world
+        Rww = lie.so3_exp(jnp.asarray([0.1, 0.0, 0.0]))
+        one = jnp.ones(())
+        Scw = lie.sim3_mul(st.kf_R[cur], st.kf_t[cur], one,
+                           Rww, jnp.zeros(3), one)
+        T12_bad = lie.sim3_mul(*Scw, *lie.sim3_inv(st.kf_R[cand],
+                                                   st.kf_t[cand], one))
+        _, _, good = lc.inertial_loop_gate(st, cur, cand, T12_bad)
+        assert not good
+        # a yaw-ish hypothesis passes; with ba2 it comes back yaw-only
+        Rww_y = lie.so3_exp(jnp.asarray([0.003, -0.002, 0.2]))
+        Scw_y = lie.sim3_mul(st.kf_R[cur], st.kf_t[cur], one,
+                             Rww_y, jnp.asarray([0.1, 0.0, 0.05]), one)
+        T12_y = lie.sim3_mul(*Scw_y, *lie.sim3_inv(st.kf_R[cand],
+                                                   st.kf_t[cand], one))
+        T12_c, four_dof, good = lc.inertial_loop_gate(st, cur, cand, T12_y,
+                                                      ba2=True)
+        assert good and four_dof
+        # clamped correction: implied world rotation has zero pitch/roll
+        Scw_c = lie.sim3_mul(*T12_c, st.kf_R[cand], st.kf_t[cand], one)
+        Rww_c, _, s_c = lie.sim3_mul(*lie.sim3_inv(st.kf_R[cur],
+                                                   st.kf_t[cur], one),
+                                     *Scw_c)
+        phi = np.asarray(lie.so3_log(Rww_c))
+        assert abs(phi[0]) < 1e-5 and abs(phi[1]) < 1e-5
+        assert abs(phi[2] - 0.2) < 0.01
+        assert abs(float(s_c) - 1.0) < 1e-5
 
 
 class TestSearchAndFuse:

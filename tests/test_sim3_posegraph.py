@@ -147,6 +147,67 @@ class TestEssentialGraph:
         after = total_err(R_o, t_o)
         assert after < before * 0.2, f"{before=} {after=}"
 
+    def test_4dof_preserves_gravity(self):
+        """Yaw+translation graph (reference: OptimizeEssentialGraph4DoF
+        src/Optimizer.cc:5292): closes a yaw-drift loop while keeping each
+        camera's gravity direction EXACTLY unchanged (the update is a
+        world-z rotation + translation only)."""
+        K = 10
+        rng = np.random.RandomState(5)
+        # gravity-aligned trajectory with fixed pitch, varying yaw
+        R_true, t_true = [], []
+        for k in range(K):
+            yaw = 2 * np.pi * k / K
+            R_wc = (lie.so3_exp(jnp.asarray([0.0, 0.0, yaw])) @
+                    lie.so3_exp(jnp.asarray([0.3, 0.0, 0.0])))
+            C = jnp.asarray([3 * np.sin(yaw), 3 * np.cos(yaw), 0.1 * k],
+                            jnp.float32)
+            R_cw = R_wc.T
+            R_true.append(R_cw)
+            t_true.append(-R_cw @ C)
+        R_true = jnp.stack(R_true)
+        t_true = jnp.stack(t_true)
+
+        # drifted estimates: cumulative yaw + translation error
+        R_est, t_est = [np.asarray(R_true[0])], [np.asarray(t_true[0])]
+        for k in range(1, K):
+            dyaw = 0.02 * k
+            dRz = lie.so3_exp(jnp.asarray([0.0, 0.0, dyaw]))
+            R_wc = (dRz @ R_true[k].T)
+            C = -R_true[k].T @ t_true[k] + jnp.asarray(
+                rng.randn(3) * 0.05, jnp.float32)
+            R_cw = R_wc.T
+            R_est.append(np.asarray(R_cw))
+            t_est.append(np.asarray(-R_cw @ C))
+        R_est = jnp.asarray(np.stack(R_est), jnp.float32)
+        t_est = jnp.asarray(np.stack(t_est), jnp.float32)
+
+        edge = jnp.zeros((K, K), bool)
+        for k in range(K - 1):
+            edge = edge.at[k, k + 1].set(True)
+        edge = edge.at[0, K - 1].set(True)
+        # Edge4DoF measurements from TRUTH: dR = Ri Rj^T, dt = Ri(-Rj^T tj)+ti
+        Rm = jnp.einsum('iab,jcb->ijac', R_true, R_true)
+        tm = (-jnp.einsum('ijab,jb->ija', Rm, t_true) +
+              t_true[:, None, :])
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        R_o, t_o = posegraph.optimize_essential_graph_4dof(
+            R_est, t_est, edge, Rm, tm, fixed, jnp.ones(K, bool), iters=15)
+
+        def err(Rs, ts):
+            return float(sum(
+                np.linalg.norm(-np.asarray(Rs[k]).T @ np.asarray(ts[k]) -
+                               (-np.asarray(R_true[k]).T @
+                                np.asarray(t_true[k])))
+                for k in range(K)))
+        assert err(R_o, t_o) < err(R_est, t_est) * 0.3
+        # gravity direction in each camera frame is bitwise-preserved up to
+        # float tolerance: updates rotate about world z only
+        g = np.asarray([0.0, 0.0, -1.0])
+        g_before = np.einsum('kij,j->ki', np.asarray(R_est), g)
+        g_after = np.einsum('kij,j->ki', np.asarray(R_o), g)
+        np.testing.assert_allclose(g_after, g_before, atol=5e-5)
+
     def test_build_edges(self):
         K = 6
         covis = jnp.zeros((K, K), jnp.int32).at[1, 2].set(150).at[2, 1].set(150)
