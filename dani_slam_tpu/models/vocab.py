@@ -74,6 +74,38 @@ def bow_l1_score(a: jax.Array, b: jax.Array) -> jax.Array:
     return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
 
 
+@jax.jit
+def idf_weights(bow_db: jax.Array, kf_mask: jax.Array) -> jax.Array:
+    """Inverse document frequency over the LIVE database [V] (DBoW3's
+    default TF_IDF weighting, Thirdparty/DBow3 Vocabulary::create — there
+    idf comes from the training corpus; here the keyframe database IS the
+    corpus, so common words are discounted adaptively)."""
+    present = (bow_db > 0) & kf_mask[:, None]
+    df = jnp.sum(present.astype(jnp.float32), axis=0)
+    n = jnp.maximum(jnp.sum(kf_mask.astype(jnp.float32)), 1.0)
+    return jnp.log((n + 1.0) / (df + 1.0)) + 1.0
+
+
+def _tfidf_rows(bow: jax.Array, idf: jax.Array) -> jax.Array:
+    w = bow * idf
+    return w / jnp.maximum(jnp.sum(jnp.abs(w), axis=-1, keepdims=True),
+                           1e-9)
+
+
+@jax.jit
+def rebuild_bow_rows(kf_desc: jax.Array, kf_kp_mask: jax.Array,
+                     kf_mask: jax.Array, codebook: jax.Array) -> jax.Array:
+    """Re-quantize every keyframe's descriptors against a (new) codebook
+    and rebuild the dense BoW database [K,V] in one batched pass."""
+    V = codebook.shape[0]
+
+    def row(desc, m, occ):
+        w = quantize(desc, m & occ, codebook)
+        return bow_vector(w, V)
+
+    return jax.vmap(row)(kf_desc, kf_kp_mask, kf_mask)
+
+
 class PlaceDB:
     """Dense BoW database over keyframe slots (device-resident)."""
 
@@ -97,8 +129,12 @@ def detect_candidates(bow_db: jax.Array, kf_mask: jax.Array,
     """Loop/merge candidate detection (reference:
     KeyFrameDatabase::DetectNBestCandidates KeyFrameDatabase.cc:606):
     score all keyframes, boost by covisibility-group accumulation, exclude
-    the query's own covisible neighborhood, return top-n ids + scores."""
-    scores = bow_l1_score(bow_db, query_bow[None])      # [K]
+    the query's own covisible neighborhood, return top-n ids + scores.
+    Scoring is tf-idf weighted (DBoW3 TF_IDF default)."""
+    idf = idf_weights(bow_db, kf_mask)
+    db_w = _tfidf_rows(bow_db, idf)
+    q_w = _tfidf_rows(query_bow[None], idf)[0]
+    scores = bow_l1_score(db_w, q_w[None])              # [K]
     scores = jnp.where(kf_mask, scores, -1.0)
     # group score: accumulate over covisible sets (matmul with boolean covis)
     group = (covis > 10).astype(jnp.float32)
@@ -118,9 +154,12 @@ def detect_reloc_candidates(bow_db: jax.Array, kf_mask: jax.Array,
                             query_bow: jax.Array, n_best: int = 5):
     """Relocalization candidates (reference:
     DetectRelocalizationCandidates KeyFrameDatabase.cc:735 — shared-word
-    gate, 0.8*max cut, accumulated score): dense scoring + top-k with a
-    0.8*best threshold mask."""
-    scores = jnp.where(kf_mask, bow_l1_score(bow_db, query_bow[None]), -1.0)
+    gate, 0.8*max cut, accumulated score): dense tf-idf scoring + top-k
+    with a 0.8*best threshold mask."""
+    idf = idf_weights(bow_db, kf_mask)
+    db_w = _tfidf_rows(bow_db, idf)
+    q_w = _tfidf_rows(query_bow[None], idf)[0]
+    scores = jnp.where(kf_mask, bow_l1_score(db_w, q_w[None]), -1.0)
     vals, idx = jax.lax.top_k(scores, n_best)
     keep = vals >= 0.8 * vals[0]
     return idx.astype(jnp.int32), vals, keep

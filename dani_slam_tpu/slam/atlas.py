@@ -226,5 +226,10 @@ class Atlas:
                 continue
             del self.stored[i]
             new_active_kf = int(kf_map[active_kf])
-            return merged, new_active_kf, kf_map, lm_map
+            # cand_kf (the stored-map keyframe of the weld) and the stored
+            # map's BoW rows let the caller run the welding fuse/BA and
+            # restore the place-recognition database
+            return dict(st=merged, new_active_kf=new_active_kf,
+                        kf_map=kf_map, lm_map=lm_map, cand_kf=last_kf,
+                        stored_bow=bow)
         return None

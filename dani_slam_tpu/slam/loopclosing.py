@@ -385,6 +385,12 @@ class LoopCloser:
         self.codebook = (codebook if codebook is not None else
                          vocab.random_codebook(key, 512, caps.D))
         self.bow = jnp.zeros((caps.K, self.codebook.shape[0]))
+        # live vocabulary: unless a pre-trained codebook was supplied
+        # (reference loads superpoint_voc.yml, src/System.cc:117-127), train
+        # spherical k-means on the map's own descriptors once enough
+        # keyframes exist, then rebuild the database rows
+        self._codebook_trained = codebook is not None
+        self.train_codebook_after = 8
         self.key = key
         self.min_kf_gap = min_kf_gap
         self.min_inliers = min_inliers
@@ -407,6 +413,14 @@ class LoopCloser:
         """Add KF to the database; attempt loop detection + correction.
         Returns (possibly corrected) state. kf_count lets the caller pass
         its host-side keyframe counter (avoids a device pull per KF)."""
+        if (not self._codebook_trained and kf_count is not None and
+                kf_count >= self.train_codebook_after):
+            desc = st.kf_desc.reshape(-1, st.kf_desc.shape[-1])
+            dmask = (st.kf_kp_mask & st.kf_mask[:, None]).reshape(-1)
+            self.codebook = vocab.train_codebook(desc, dmask, self.codebook)
+            self._codebook_trained = True
+            self.bow = vocab.rebuild_bow_rows(st.kf_desc, st.kf_kp_mask,
+                                              st.kf_mask, self.codebook)
         w = vocab.quantize(st.kf_desc[kf], st.kf_kp_mask[kf], self.codebook)
         self.bow = self.bow.at[kf].set(
             vocab.bow_vector(w, self.codebook.shape[0]))

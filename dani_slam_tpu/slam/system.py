@@ -484,24 +484,51 @@ class System:
                                    verify)
         if out is None:
             return
-        merged, new_ref, kf_map, lm_map = out
+        merged, new_ref = out["st"], out["new_active_kf"]
+        kf_map, lm_map = out["kf_map"], out["lm_map"]
+        cand_kf = out["cand_kf"]
         tr.st = merged
         tr.ref_kf = new_ref
+        tr.ref_kf_dev = jnp.asarray(new_ref, jnp.int32)
         # remap frame bindings into merged landmark ids
         if tr.last_bind is not None:
             lb = tr.last_bind
             tr.last_bind = jnp.where(
                 lb >= 0, jnp.take(lm_map, jnp.maximum(lb, 0)), -1)
-        # rebuild the place-recognition database rows for the moved KFs
+        # welding (reference: MergeLocal runs SearchAndFuse over the weld
+        # window + a welding local BA, src/LoopClosing.cc:1216-1783): merge
+        # duplicate landmarks seen from both sides, then refine the weld
+        # neighborhood with the old-map observers as fixed anchors
+        from dani_slam_tpu.slam import mapping as mapping_mod
+        tr.st = lc.search_and_fuse(tr.st, self.cam, jnp.asarray(new_ref),
+                                   jnp.asarray(cand_kf))
+        tr.st = mapping_mod.local_bundle_adjustment(
+            tr.st, self.cam, jnp.asarray(new_ref))
+        # place-recognition database: the stored map's rows live at their
+        # original (target) slots — restore them, then scatter the moved
+        # active-map rows through kf_map
         if self.loop_closer is not None:
             old_bow = self.loop_closer.bow
-            entry_bow = jnp.zeros_like(old_bow)
+            stored_bow = out.get("stored_bow")
+            base = (stored_bow if stored_bow is not None
+                    else jnp.zeros_like(old_bow))
             src_valid = kf_map >= 0
-            entry_bow = entry_bow.at[jnp.where(src_valid, kf_map, 0)].set(
-                jnp.where(src_valid[:, None], old_bow, 0.0))
-            # stored map rows were stashed with the map; restore is partial
-            # (new keyframes re-add themselves) — merge what we have
-            self.loop_closer.bow = entry_bow
+            self.loop_closer.bow = base.at[
+                jnp.where(src_valid, kf_map, 0)].set(
+                jnp.where(src_valid[:, None], old_bow,
+                          base[jnp.where(src_valid, kf_map, 0)]))
+        # inertial bookkeeping follows the moved keyframes to their new slots
+        if self.use_imu:
+            kf_map_np = np.asarray(kf_map)
+            self._kf_window_marks = [
+                (int(kf_map_np[s]), f, m)
+                for (s, f, m) in self._kf_window_marks if kf_map_np[s] >= 0]
+            kept = [((int(kf_map_np[s]), f), p)
+                    for (s, f), p in zip(self._recent_kfs,
+                                         self._recent_preints)
+                    if kf_map_np[s] >= 0]
+            self._recent_kfs = [k for k, _ in kept]
+            self._recent_preints = [p for _, p in kept]
 
     # -- relocalization (reference: Tracking::Relocalization
     #    src/Tracking.cc:3666 — BoW candidates -> PnP RANSAC -> pose opt) --

@@ -136,3 +136,34 @@ class TestAtlasE2E:
         assert sys.atlas.n_maps() < max_maps + 1, "no merge happened"
         assert sys.tracker.state == "OK"
         assert sys.n_keyframes() >= 4
+
+        # BoW preservation across the merge (round-1 review: the stored
+        # map's rows were zeroed): relocalization against an ORIGINAL
+        # first-map view must still succeed after the weld
+        feat, _ = synthetic.render_frame(
+            world_a, CAM, R_a[2], t_a[2], n_max=256, noise_px=0.3,
+            seed=hash("A") % 1000 + 2, with_depth=True, time=99.0)
+        out = sys._relocalize(sys.tracker, feat)
+        assert out is not None, "reloc against pre-merge keyframes failed"
+        R_rel, t_rel, bind = out
+        # the map world frame is camera-0's frame (first pose = identity):
+        # expected pose is the gt RELATIVE pose to frame 0
+        from dani_slam_tpu.core import lie
+        R_exp, t_exp = lie.se3_mul(R_a[2], t_a[2],
+                                   *lie.se3_inv(R_a[0], t_a[0]))
+        np.testing.assert_allclose(np.asarray(t_rel), np.asarray(t_exp),
+                                   atol=0.1)
+
+        # welding quality: the moved current KF's observations reproject
+        # tightly after SearchAndFuse + welding BA
+        st = sys.tracker.st
+        k = sys.tracker.ref_kf
+        obs = np.asarray(st.obs_lm[k])
+        sel = obs >= 0
+        assert sel.sum() > 30
+        from dani_slam_tpu.core import cameras as camod
+        lm = np.asarray(st.lm_pos)[obs[sel]]
+        pc = np.asarray(st.kf_R[k]) @ lm.T + np.asarray(st.kf_t[k])[:, None]
+        px = np.asarray(camod.project(CAM, jnp.asarray(pc.T, jnp.float32)))
+        err = np.linalg.norm(px - np.asarray(st.kf_kp[k])[sel], axis=1)
+        assert np.median(err) < 2.0, f"weld reprojection {np.median(err)}"

@@ -68,6 +68,46 @@ class TestVocab:
         assert w[0] != w[150]
 
 
+class TestTfIdf:
+    def test_common_words_discounted(self):
+        """A word present in every keyframe carries no discrimination; idf
+        must downweight it so scoring is driven by the rare words."""
+        K, V = 6, 8
+        kf_mask = jnp.ones(K, bool)
+        # all KFs share word 0 heavily; KFs differ in one rare word each
+        bow = np.full((K, V), 0.0, np.float32)
+        bow[:, 0] = 0.8
+        for k in range(K):
+            bow[k, 1 + k % (V - 1)] = 0.2
+        bow = jnp.asarray(bow / bow.sum(1, keepdims=True))
+        idf = vocab.idf_weights(bow, kf_mask)
+        assert float(idf[0]) < float(idf[2])    # ubiquitous word discounted
+        # query = KF 2's signature: with tf-idf, KF 2 must win clearly
+        q = bow[2]
+        dbw = vocab._tfidf_rows(bow, idf)
+        qw = vocab._tfidf_rows(q[None], idf)[0]
+        s = np.asarray(vocab.bow_l1_score(dbw, qw[None]))
+        assert s.argmax() == 2
+        margin_tfidf = np.sort(s)[-1] - np.sort(s)[-2]
+        s_plain = np.asarray(vocab.bow_l1_score(bow, q[None]))
+        margin_plain = np.sort(s_plain)[-1] - np.sort(s_plain)[-2]
+        assert margin_tfidf > margin_plain      # sharper separation
+
+    def test_rebuild_bow_rows(self):
+        rng = np.random.RandomState(0)
+        K, N, D, V = 4, 16, 32, 8
+        desc = rng.randn(K, N, D).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        kp_mask = jnp.ones((K, N), bool)
+        kf_mask = jnp.asarray([True, True, False, True])
+        cb = vocab.random_codebook(jax.random.PRNGKey(1), V, D)
+        rows = vocab.rebuild_bow_rows(jnp.asarray(desc), kp_mask, kf_mask,
+                                      cb)
+        assert rows.shape == (K, V)
+        assert float(jnp.abs(rows[0].sum() - 1.0)) < 1e-5
+        assert float(rows[2].sum()) == 0.0      # dead keyframe row empty
+
+
 class TestPnP:
     def _data(self, n=128, noise=0.5, outlier_frac=0.3, seed=4):
         rng = np.random.RandomState(seed)
