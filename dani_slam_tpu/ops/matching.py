@@ -37,6 +37,18 @@ class Matches(NamedTuple):
     ok: jax.Array      # [M] bool
 
 
+def predict_scale_level(dist: jax.Array, dist_max: jax.Array,
+                        scale_factor: float = 1.2,
+                        max_level: int = 7) -> jax.Array:
+    """Predicted pyramid level of a landmark at viewing distance `dist`
+    (reference: MapPoint::PredictScale src/MapPoint.cc — nScale =
+    ceil(log(maxDist/dist)/log(scaleFactor)), clamped)."""
+    ratio = jnp.maximum(dist_max, 1e-9) / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1.0)) /
+                   jnp.log(scale_factor))
+    return jnp.clip(lvl, 0, max_level)
+
+
 def desc_distance_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     """Pairwise L2 distance between unit descriptors a [M,D], b [N,D].
     One MXU matmul: ||a-b|| = sqrt(2-2ab) (reference DescriptorDistance is

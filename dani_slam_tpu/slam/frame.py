@@ -24,21 +24,44 @@ class FrameFeatures(NamedTuple):
     depth: jax.Array   # [N] metric depth (inf for mono / no reading)
     valid: jax.Array   # [N] bool
     time: jax.Array    # [] timestamp (seconds)
+    octave: jax.Array | None = None   # [N] int8 pyramid level (None = 0)
 
     @property
     def n(self):
         return self.xy.shape[0]
 
+    def octave_or_zeros(self) -> jax.Array:
+        if self.octave is None:
+            return jnp.zeros((self.xy.shape[0],), jnp.int8)
+        return self.octave
+
 
 def build_frame_mono(params, img, cam: _cam.Camera, time: float,
                      n_max: int = 1024, threshold: float = 0.007,
-                     boxes=None, box_mask=None) -> FrameFeatures:
+                     boxes=None, box_mask=None, n_levels: int = 1,
+                     scale_factor: float = 1.2) -> FrameFeatures:
     """Monocular frame: gray -> SuperPoint -> select -> undistort.
     (reference: Frame mono ctor src/Frame.cc:291 + GrabImageMonocular
-    src/Tracking.cc:1585)."""
+    src/Tracking.cc:1585). n_levels > 1 runs the multi-level pyramid with
+    per-level budgets (SPextractor::ComputePyramid semantics,
+    src/SPextractor.cpp:115-127,631)."""
     from dani_slam_tpu.models import superpoint
 
     g = image_ops.to_gray01(img)
+    if n_levels > 1:
+        out = frontend.extract_multiscale(
+            params, g, n_max=n_max, n_levels=n_levels,
+            scale_factor=scale_factor, threshold=threshold)
+        valid = out["valid"]
+        if boxes is not None:
+            valid = frontend.suppress_in_boxes(out["xy"], valid, boxes,
+                                               box_mask)
+        xy = _cam.undistort_keypoints(cam, out["xy"])
+        return FrameFeatures(xy=xy, desc=out["desc"],
+                             depth=jnp.full((xy.shape[0],), jnp.inf),
+                             valid=valid,
+                             time=jnp.asarray(time, jnp.float32),
+                             octave=out["octave"])
     heat, dm = superpoint.apply(params, g)
     out = frontend.extract(heat, dm, n_max=n_max, threshold=threshold,
                            boxes=boxes, box_mask=box_mask)

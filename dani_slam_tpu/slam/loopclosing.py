@@ -275,10 +275,11 @@ def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10):
     olm = st.obs_lm.reshape(-1)
     oxy = st.kf_kp.reshape(-1, 2)
     ovalid = (olm >= 0) & st.kf_kp_mask.reshape(-1)
+    obs_info = 1.2 ** (-2.0 * st.kf_octave.reshape(-1).astype(jnp.float32))
     res = ba_large.ba_solve_pcg(st.kf_R, st.kf_t, pose_fixed, st.lm_pos,
                                 st.lm_mask, cam, okf,
                                 jnp.where(ovalid, olm, 0),
-                                oxy, ovalid, iters=iters)
+                                oxy, ovalid, obs_info=obs_info, iters=iters)
     return dataclasses.replace(
         st, kf_R=jnp.where(st.kf_mask[:, None, None], res.R, st.kf_R),
         kf_t=jnp.where(st.kf_mask[:, None], res.t, st.kf_t),

@@ -242,12 +242,16 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
                  jnp.repeat(all_real, N))
     row_loc = jnp.take(inv, jnp.where(row_lm >= 0, row_lm, 0))
     row_valid &= row_loc >= 0
+    # per-observation information by pyramid level (reference: invSigma2 on
+    # every LBA edge, src/Optimizer.cc:1320-1350)
+    row_info = 1.2 ** (-2.0 * st.kf_octave[all_idx].reshape(-1)
+                       .astype(jnp.float32))
 
     res = ba_ops.ba_solve(
         st.kf_R[all_idx], st.kf_t[all_idx], pose_fixed | ~all_real,
         st.lm_pos[loc_lm], loc_lm_valid, cam,
         okf, jnp.where(row_valid, row_loc, 0), row_xy, row_valid,
-        iters=iters)
+        obs_info=row_info, iters=iters)
 
     # --- write back ---
     upd = all_real & ~pose_fixed
@@ -318,13 +322,16 @@ def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
 def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
                   feat_depth, bind, R, t, time, frame_id,
                   use_depth: bool = False, do_ba: bool = True,
-                  max_depth: float = 40.0, n_neighbors: int = 5):
+                  max_depth: float = 40.0, n_neighbors: int = 5,
+                  feat_octave=None):
     """Insert a keyframe and run the full mapping pipeline. Returns
     (st, kf_slot, n_tracked)."""
     N = feat_xy.shape[0]
+    octave = (feat_octave if feat_octave is not None
+              else jnp.zeros((N,), jnp.int8))
     st, k = mstate.insert_keyframe(
         st, R, t, time, frame_id, feat_xy, feat_valid, feat_desc, feat_depth,
-        jnp.zeros((N,), jnp.int8), bind)
+        octave, bind)
     if use_depth:
         st = create_depth_landmarks(st, cam, k, max_depth=max_depth)
     st = create_new_landmarks(st, cam, k, n_neighbors=n_neighbors)

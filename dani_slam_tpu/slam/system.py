@@ -200,7 +200,7 @@ class System:
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
             bind, R_kf, t_kf, feat.time, jnp.asarray(fid),
             use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
-            max_depth=self.max_depth)
+            max_depth=self.max_depth, feat_octave=feat.octave_or_zeros())
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
         k_host, n_host = jax.device_get((k, n_tracked))

@@ -99,10 +99,10 @@ def build_initial_map(st: mstate.MapState, cam, f0: FrameFeatures,
 
     st, k0 = mstate.insert_keyframe(
         st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id0, f0.xy, f0.valid,
-        f0.desc, f0.depth, jnp.zeros((N,), jnp.int8), bind0)
+        f0.desc, f0.depth, f0.octave_or_zeros(), bind0)
     st, k1 = mstate.insert_keyframe(
         st, tv.R21, t21, f1.time, frame_id, f1.xy, f1.valid, f1.desc,
-        f1.depth, jnp.zeros((N,), jnp.int8), bind1)
+        f1.depth, f1.octave_or_zeros(), bind1)
     return st, k0, k1, bind1, tv.R21, t21
 
 
@@ -125,7 +125,7 @@ def build_initial_map_rgbd(st: mstate.MapState, cam, f0: FrameFeatures,
     bind0 = jnp.where(good & (slots >= 0), slots, -1)
     st, k0 = mstate.insert_keyframe(
         st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id, f0.xy, f0.valid,
-        f0.desc, f0.depth, jnp.zeros((N,), jnp.int8), bind0)
+        f0.desc, f0.depth, f0.octave_or_zeros(), bind0)
     return st, k0, bind0
 
 
@@ -146,10 +146,14 @@ def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
     lm_pos = st.lm_pos[lm_ids]
     lm_desc = st.lm_desc[lm_ids]
 
-    xy, vis, _, _ = matching.project_landmarks(R_pred, t_pred, cam, lm_pos,
-                                               has)
+    xy, vis, _, dist = matching.project_landmarks(R_pred, t_pred, cam,
+                                                  lm_pos, has)
+    # octave-scaled window (reference: r *= scaleFactor^predicted-level in
+    # the frame-to-frame search, src/LGmatcher.cpp:1643-1685)
+    octv = matching.predict_scale_level(dist, st.lm_dist_max[lm_ids])
     m = matching.search_by_projection(xy, vis, lm_desc, feat.xy, feat.valid,
-                                      feat.desc, radius=radius)
+                                      feat.desc,
+                                      radius=radius * SCALE_FACTOR ** octv)
     # bindings on the current frame's keypoints
     bind = jnp.full((feat.xy.shape[0],), -1, jnp.int32)
     bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
@@ -182,11 +186,18 @@ def track_reference_keyframe(st: mstate.MapState, cam, feat: FrameFeatures,
     return _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth)
 
 
+SCALE_FACTOR = 1.2   # pyramid scale (config ORBextractor.scaleFactor)
+
+
 def _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth):
     has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
     lm_pos = st.lm_pos[jnp.where(has, bind, 0)]
+    # per-observation information by pyramid level (reference: invSigma2 =
+    # 1/scaleFactor^(2*octave) on every g2o edge)
+    octv = feat.octave_or_zeros().astype(jnp.float32)
+    inv_sigma2 = SCALE_FACTOR ** (-2.0 * octv)
     res = solvers.pose_optimize(
-        R0, t0, cam, lm_pos, feat.xy, has,
+        R0, t0, cam, lm_pos, feat.xy, has, inv_sigma2=inv_sigma2,
         obs_depth=feat.depth if use_depth else None,
         use_depth=use_depth)
     bind = jnp.where(res.inliers | ~has, bind, -1)   # drop outlier matches
@@ -216,12 +227,13 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
     # exclude already-bound landmarks
     lm_sel &= ~seen
 
-    xy, vis, _, _ = matching.project_landmarks(
+    xy, vis, _, dist = matching.project_landmarks(
         R0, t0, cam, st.lm_pos, lm_sel, st.lm_normal, st.lm_dist_min,
         st.lm_dist_max)
+    octv = matching.predict_scale_level(dist, st.lm_dist_max)
     m = matching.search_by_projection(xy, vis, st.lm_desc, feat.xy,
                                       feat.valid & (bind < 0), feat.desc,
-                                      radius=radius)
+                                      radius=radius * SCALE_FACTOR ** octv)
     bind2 = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
         jnp.where(m.ok, jnp.arange(st.caps.L, dtype=jnp.int32), -1))
     bind2 = jnp.where(bind >= 0, bind, bind2)

@@ -161,3 +161,41 @@ class TestMultiscale:
                                           threshold=0.0)
         xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
         assert (xy[:, 0] <= 96).all() and (xy[:, 1] <= 96).all()
+
+
+class TestMultiscale:
+    def test_extract_multiscale_levels_and_coords(self):
+        """Pyramid extraction (reference: SPextractor per-level forward +
+        rescale to level-0 coords, src/SPextractor.cpp:130-217): octave ids
+        populated, per-level budgets follow the geometric series, level-0
+        coords stay in image bounds."""
+        params = superpoint.init_params(jax.random.PRNGKey(0))
+        g = jnp.asarray(RNG.rand(120, 160).astype(np.float32))
+        out = frontend.extract_multiscale(params, g, n_max=256, n_levels=3,
+                                          scale_factor=1.2, threshold=-1.0)
+        assert out["xy"].shape == (256, 2)
+        assert out["octave"].shape == (256,)
+        oct_np = np.asarray(out["octave"])
+        assert set(np.unique(oct_np)) == {0, 1, 2}
+        # geometric budgets: level 0 largest
+        n0 = (oct_np == 0).sum()
+        n2 = (oct_np == 2).sum()
+        assert n0 > n2
+        xy = np.asarray(out["xy"])
+        v = np.asarray(out["valid"])
+        assert (xy[v, 0] < 160).all() and (xy[v, 1] < 120).all()
+        # higher-level coords were rescaled: level-2 keypoints still span
+        # the full level-0 range
+        assert xy[v & (oct_np == 2), 0].max() > 80
+
+    def test_build_frame_mono_multiscale(self):
+        from dani_slam_tpu.core import cameras
+        from dani_slam_tpu.slam import frame as frame_mod
+        params = superpoint.init_params(jax.random.PRNGKey(0))
+        cam = cameras.Camera.pinhole(100.0, 100.0, 80.0, 60.0, 160, 120)
+        img = RNG.rand(120, 160).astype(np.float32)
+        feat = frame_mod.build_frame_mono(params, img, cam, 0.0, n_max=128,
+                                          n_levels=3, threshold=-1.0)
+        assert feat.octave is not None
+        assert feat.octave.shape == (128,)
+        assert int(feat.octave.max()) == 2
