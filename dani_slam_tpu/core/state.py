@@ -144,13 +144,14 @@ def first_free_slot(mask: jax.Array) -> jax.Array:
 
 
 def free_slots(mask: jax.Array, count: int) -> jax.Array:
-    """Indices of the first `count` free slots (padded with last index)."""
+    """Indices of the first `count` free slots (padded with last index).
+    top_k instead of a full argsort: the table is large (L up to 2^15+) and
+    this runs several times per keyframe step."""
     free = jnp.logical_not(mask)
-    # rank free slots by position: sort key = index where free else +inf
-    idx = jnp.arange(mask.shape[0])
+    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
     key = jnp.where(free, idx, mask.shape[0] + idx)
-    order = jnp.argsort(key)
-    return order[:count]
+    _, order = jax.lax.top_k(-key, count)
+    return order
 
 
 def num_keyframes(st: MapState) -> jax.Array:

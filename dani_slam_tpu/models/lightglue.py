@@ -138,13 +138,15 @@ class LightGlue(nn.Module):
         p1 = nn.Dense(self.dim, name="final_proj1")(d1)
         sim = jnp.einsum('...nd,...md->...nm', p0, p1) / (self.dim ** 0.5)
         sim = jnp.where(mask0[..., :, None] & mask1[..., None, :], sim, NEG)
-        z0 = jax.nn.log_sigmoid(
-            nn.Dense(1, name="match0")(d0)[..., 0])       # matchability
-        z1 = jax.nn.log_sigmoid(nn.Dense(1, name="match1")(d1)[..., 0])
+        # matchability head returns RAW logits (training needs
+        # log(1-sigmoid) for unmatched points); scores use log_sigmoid
+        z0 = nn.Dense(1, name="match0")(d0)[..., 0]
+        z1 = nn.Dense(1, name="match1")(d1)[..., 0]
         # dual-softmax in log space + matchability
         ls_r = jax.nn.log_softmax(sim, axis=-1)
         ls_c = jax.nn.log_softmax(sim, axis=-2)
-        scores = ls_r + ls_c + z0[..., :, None] + z1[..., None, :]
+        scores = (ls_r + ls_c + jax.nn.log_sigmoid(z0)[..., :, None] +
+                  jax.nn.log_sigmoid(z1)[..., None, :])
         return scores, z0, z1
 
 
@@ -156,6 +158,59 @@ class MatcherState:
         self.model = model
         self.width = width
         self.height = height
+
+
+def load_default_matcher(width: int = 640, height: int = 480,
+                         input_dim: int = 256, dim: int = 128,
+                         depth: int = 6) -> MatcherState | None:
+    """Load the shipped synthetic-homography-trained weights if present
+    (dani_slam_tpu/weights/lightglue_synthetic.npz, produced by
+    models/lightglue_train.py), else None. The authors' fine-tuned
+    TorchScript checkpoint is not public (reference loads it from a
+    hard-coded path, src/LightGlue.cpp:9)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "lightglue_synthetic.npz")
+    if not os.path.exists(path):
+        return None
+    from dani_slam_tpu.models.superpoint_train import load_params
+    params = load_params(path)
+    model = LightGlue(dim=dim, depth=depth, input_dim=input_dim)
+    return MatcherState(params, model, width, height)
+
+
+def match_pairs(model: LightGlue, params, xy0, desc0, mask0, xy1, desc1,
+                mask1, width: int, height: int, threshold: float = 0.05):
+    """Jit-friendly BATCHED matching: xy0/xy1 [B,N,2], desc [B,N,D],
+    mask [B,N] -> (idx [B,N] int32 best target per query, score [B,N],
+    ok [B,N]) with the reference's accept semantics (mutual + score >= 0.05,
+    src/LightGlue.cpp:98-122). One forward for all B pairs — on TPU the B
+    covisible-neighbor matches of a keyframe cost one batched MXU program
+    instead of B sequential ones (callable INSIDE a larger jitted program —
+    no jit wrapper of its own)."""
+    xy0n = normalize_keypoints(xy0, width, height)
+    xy1n = normalize_keypoints(xy1, width, height)
+    scores, _, _ = model.apply(params, xy0n, xy1n, desc0, desc1,
+                               mask0, mask1)
+    s = jnp.exp(scores)
+    idx = jnp.argmax(s, axis=-1)
+    best = jnp.max(s, axis=-1)
+    rev = jnp.argmax(s, axis=-2)
+    N = s.shape[-1]
+    mutual = jnp.take_along_axis(rev, idx, axis=-1) == jnp.arange(N)
+    ok = (mutual & (best >= threshold) & mask0 &
+          jnp.take_along_axis(mask1, idx, axis=-1))
+    return idx.astype(jnp.int32), best, ok
+
+
+def match_pair(model: LightGlue, params, xy0, desc0, mask0, xy1, desc1,
+               mask1, width: int, height: int, threshold: float = 0.05):
+    """Single-pair variant of match_pairs (unbatched [N,...] inputs)."""
+    idx, best, ok = match_pairs(model, params, xy0[None], desc0[None],
+                                mask0[None], xy1[None], desc1[None],
+                                mask1[None], width, height, threshold)
+    return idx[0], best[0], ok[0]
 
 
 def init_matcher(key, width=640, height=480, n=512, input_dim=256,

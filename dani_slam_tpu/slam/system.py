@@ -43,7 +43,7 @@ class System:
                  enable_mapping: bool = True, max_depth: float = 40.0,
                  local_ba_every: int = 1, enable_loop_closing: bool = True,
                  enable_relocalization: bool = True,
-                 pipelined: bool = False, detector=None, matcher=None,
+                 pipelined: bool = False, detector=None, matcher="auto",
                  imu_calib=None):
         self.cam = cam
         self.sensor = sensor
@@ -59,6 +59,13 @@ class System:
         self.max_depth = max_depth
         self.local_ba_every = local_ba_every
         self._kf_count = 0
+        # deferred keyframe host pull (overlaps the keyframe program with
+        # the next frame's host work; see _keyframe_step)
+        self._kf_pull = None
+        self.deferred_kf = True
+        # timestamp-jump guard (reference: src/Tracking.cc:1839-1875)
+        self._last_ts = None
+        self.max_time_jump = 1.0
         self.loop_closer = None
         # the LoopCloser owns the place-recognition database, which
         # relocalization also needs — create it for either feature and gate
@@ -76,10 +83,22 @@ class System:
         # dynamic-object masking (reference: YOLO runs on the RGB-D path
         # only, src/Tracking.cc:1534-1546)
         self.detector = detector
-        # optional learned matcher (models/lightglue.MatcherState) — used by
-        # relocalization and stereo matching when supplied (reference wires
-        # LightGlue through those paths; default descriptor-NN otherwise)
+        # learned matcher (models/lightglue.MatcherState) — the reference's
+        # PRIMARY matcher for SearchByBoW / SearchForTriangulation
+        # (src/LGmatcher.cpp:314,983) plus relocalization and stereo
+        # matching. "auto" loads the shipped trained weights when the map's
+        # descriptor dim matches (synthetic-feature tests run D=64 and keep
+        # the descriptor-NN path).
+        if matcher == "auto":
+            matcher = None
+            if self.caps.D == 256:
+                from dani_slam_tpu.models import lightglue as lg
+                matcher = lg.load_default_matcher(cam.width, cam.height)
         self.matcher = matcher
+        self.tracker.matcher = matcher
+        # resolve deferred keyframe pulls right before any keyframe decision
+        # (the decision needs the host-side ref_kf_tracked count)
+        self.tracker.pre_kf_decision = self._resolve_kf_pull
         # multi-map Atlas (reference: src/Atlas.cc; new map on unrecoverable
         # loss, Tracking::CreateMapInAtlas src/Tracking.cc:2682)
         from dani_slam_tpu.slam.atlas import Atlas
@@ -111,7 +130,7 @@ class System:
         src/System.cc:409)."""
         feat = build_frame_mono(self._sp(), img, self.cam, timestamp,
                                 n_max=self.n_features)
-        return self.track_features(feat)
+        return self.track_features(feat, timestamp=timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float,
                    depth_factor: float = 5000.0):
@@ -124,15 +143,46 @@ class System:
                                 depth_factor=depth_factor,
                                 n_max=self.n_features, boxes=boxes,
                                 box_mask=box_mask)
-        return self.track_features(feat, dyn_ratio=dyn_ratio)
+        return self.track_features(feat, dyn_ratio=dyn_ratio,
+                                   timestamp=timestamp)
+
+    def track_stereo(self, img_left, img_right, timestamp: float,
+                     baseline: float, imu_window=None):
+        """Rectified stereo pair in, T_cw out (reference: System::TrackStereo
+        src/System.cc:254; unrectified input should be remapped first with
+        ops/rectify grids, as the EuRoC runner does)."""
+        from dani_slam_tpu.slam.frame import build_frame_stereo
+        feat = build_frame_stereo(self._sp(), img_left, img_right, self.cam,
+                                  baseline, timestamp,
+                                  n_max=self.n_features,
+                                  matcher=self.matcher)
+        return self.track_features(feat, imu_window=imu_window,
+                                   timestamp=timestamp)
 
     def track_features(self, feat: FrameFeatures, dyn_ratio=None,
-                       imu_window=None):
+                       imu_window=None, timestamp: float | None = None):
         """Pre-extracted features in (synthetic tests / custom frontends).
         dyn_ratio: device scalar in [0,1] — fraction of the image covered by
         dynamic objects (keyframe veto above 0.8, src/Tracking.cc:3273).
         imu_window: slam.inertial.ImuWindow of samples since the previous
-        frame (IMU_* sensors)."""
+        frame (IMU_* sensors). timestamp: host-side frame time (float) for
+        the timestamp-jump guard — image entry points pass it automatically;
+        feature callers may omit it (no device pull is ever made for it).
+
+        NB: any pending keyframe host-pull is resolved lazily at the NEXT
+        keyframe decision (tracker.pre_kf_decision hook), so the keyframe
+        program overlaps this frame's frontend+track dispatches."""
+        # timestamp-jump detection (reference: src/Tracking.cc:1839-1875 —
+        # a gap >1 s or a backwards step means the stream was cut; the IMU
+        # chain is broken, so stash the map and start a fresh one)
+        if timestamp is not None:
+            if self._last_ts is not None and (
+                    timestamp > self._last_ts + self.max_time_jump or
+                    timestamp < self._last_ts):
+                if self.tracker.state != tracking.NOT_INITIALIZED:
+                    self._resolve_kf_pull()
+                    self._new_map_in_atlas()
+            self._last_ts = timestamp
         if self.use_imu and imu_window is not None:
             self.tracker.inertial.integrate_frame(imu_window)
         if self.use_imu:
@@ -151,6 +201,7 @@ class System:
                     (slot, fid, self._frame_marks.get(fid, 0)))
             self.tracker.init_kfs = None
         if (self.tracker.pending_kf is not None and self.enable_mapping):
+            self._resolve_kf_pull()   # previous KF's hooks run in order
             self._keyframe_step()
         if state == tracking.LOST and \
                 self.tracker.frames_lost > self.lost_frames_before_new_map:
@@ -168,6 +219,7 @@ class System:
         frame_id = tr.frame_id
         tr.reset()
         tr.frame_id = frame_id
+        self._last_ts = None
         if self.loop_closer is not None:
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.last_loop_kf = -10 ** 9
@@ -196,21 +248,28 @@ class System:
                      and self.tracker.inertial.initialized)
         do_ba = (self._kf_count % self.local_ba_every == 0
                  and self._kf_count > 1 and not imu_ready)
+        mm = self.matcher
         st, k, n_tracked = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
             bind, R_kf, t_kf, feat.time, jnp.asarray(fid),
             use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
-            max_depth=self.max_depth, feat_octave=feat.octave_or_zeros())
+            max_depth=self.max_depth, feat_octave=feat.octave_or_zeros(),
+            matcher_model=mm.model if mm is not None else None,
+            matcher_params=mm.params if mm is not None else None)
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
-        k_host, n_host = jax.device_get((k, n_tracked))
-        tr.ref_kf = int(k_host)
-        tr.ref_kf_tracked = int(n_host)
-        if self.loop_closer is not None:
-            tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
-                                                kf_count=self._kf_count)
-        if self.atlas.n_maps() > 0:
-            self._try_map_merge()
+        # Defer the host pull of (slot, n_tracked) until the NEXT frame:
+        # an immediate device_get stalls the host for the whole keyframe
+        # program (plus one transport RTT) while the device then sits idle
+        # waiting for the next frame's upload. The tracker keeps tracking
+        # against ref_kf_dev (device scalar), so nothing downstream needs
+        # the host values until the next keyframe decision. (The reference's
+        # analogue is the Tracking/LocalMapping thread handoff —
+        # LocalMapping::InsertKeyFrame returns immediately,
+        # src/LocalMapping.cc:273-278.)
+        self._kf_pull = (k, n_tracked, fid)
+        if self.use_imu or self.atlas.n_maps() > 0 or not self.deferred_kf:
+            self._resolve_kf_pull()   # inertial/merge paths need host ids now
         if self.use_imu:
             # record (slot, frame_id, frame-window index) at insertion time:
             # the frame id disambiguates reused slots, the window index
@@ -222,6 +281,24 @@ class System:
             self._record_kf_preint()
             if self.tracker.inertial.initialized:
                 self._run_local_inertial_ba()
+
+    def _resolve_kf_pull(self):
+        """Pull the deferred keyframe ids and run the keyframe-rate hooks
+        that need host values (BoW/loop closing, map merge)."""
+        if self._kf_pull is None:
+            return
+        k, n_tracked, fid = self._kf_pull
+        self._kf_pull = None
+        tr = self.tracker
+        k_host, n_host = jax.device_get((k, n_tracked))
+        tr.ref_kf = int(k_host)
+        tr.ref_kf_fid = fid
+        tr.ref_kf_tracked = int(n_host)
+        if self.loop_closer is not None:
+            tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
+                                                 kf_count=self._kf_count)
+        if self.atlas.n_maps() > 0:
+            self._try_map_merge()
 
     def _record_kf_preint(self):
         """Preintegrate the window since the previous keyframe and track the
@@ -489,6 +566,7 @@ class System:
         cand_kf = out["cand_kf"]
         tr.st = merged
         tr.ref_kf = new_ref
+        tr.ref_kf_fid = int(tr.st.kf_frame_id[new_ref])
         tr.ref_kf_dev = jnp.asarray(new_ref, jnp.int32)
         # remap frame bindings into merged landmark ids
         if tr.last_bind is not None:
@@ -504,6 +582,12 @@ class System:
                                    jnp.asarray(cand_kf))
         tr.st = mapping_mod.local_bundle_adjustment(
             tr.st, self.cam, jnp.asarray(new_ref))
+        # inertial maps additionally re-weld velocities/biases over the
+        # temporal window (reference: MergeInertialBA
+        # src/Optimizer.cc:3948, invoked from MergeLocal2 :1784)
+        if (self.use_imu and self.tracker.inertial is not None
+                and self.tracker.inertial.initialized):
+            self._run_local_inertial_ba()
         # place-recognition database: the stored map's rows live at their
         # original (target) slots — restore them, then scatter the moved
         # active-map rows through kf_map
@@ -572,9 +656,11 @@ class System:
         return int(mstate.num_landmarks(self.tracker.st))
 
     def shutdown(self):
+        self._resolve_kf_pull()
         self.tracker.flush()
         if (self.tracker.pending_kf is not None and self.enable_mapping):
             self._keyframe_step()
+        self._resolve_kf_pull()
 
     def save_trajectory_tum(self, path: str):
         """TUM format: time tx ty tz qx qy qz qw of T_wc (reference:
@@ -595,10 +681,12 @@ class System:
         System::ActivateLocalizationMode src/System.cc:488 — stops
         LocalMapping; here mapping steps are simply skipped)."""
         self.enable_mapping = False
+        self.tracker.localization_vo = True
 
     def deactivate_localization_mode(self):
         """Resume full SLAM (reference: DeactivateLocalizationMode)."""
         self.enable_mapping = True
+        self.tracker.localization_vo = False
         self.tracker.pending_kf = None   # drop any stale pending keyframe
 
     def save_keyframe_trajectory_tum(self, path: str):

@@ -165,21 +165,57 @@ def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
 
 
 @partial(jax.jit, static_argnames=("use_depth",))
+def track_last_frame_vo(cam, last_xy, last_desc, last_depth, last_valid,
+                        R_last, t_last, feat: FrameFeatures, R_pred, t_pred,
+                        radius: float = 15.0, use_depth: bool = True):
+    """Pure visual odometry against TEMPORAL points from the last frame's
+    depth — localization mode's lifeline outside the mapped region
+    (reference: UpdateLastFrame creates temporary close-depth map points and
+    TrackWithMotionModel tracks them, src/Tracking.cc:2801-2873; mbVO mode
+    :2090-2134). Returns (R, t, n_inliers)."""
+    good = last_valid & jnp.isfinite(last_depth) & (last_depth > 0)
+    rays = _cam.unproject(cam, last_xy)
+    Xc = rays * last_depth[:, None]
+    Xw = lie.se3_apply(*lie.se3_inv(R_last, t_last), Xc)
+    xy, vis, _, _ = matching.project_landmarks(R_pred, t_pred, cam, Xw, good)
+    m = matching.search_by_projection(xy, vis, last_desc, feat.xy,
+                                      feat.valid, feat.desc, radius=radius)
+    obs_xy = feat.xy[m.idx]
+    obs_d = feat.depth[m.idx]
+    res = solvers.pose_optimize(R_pred, t_pred, cam, Xw, obs_xy, m.ok,
+                                obs_depth=obs_d if use_depth else None,
+                                use_depth=use_depth)
+    return res.R, res.t, res.n_inliers
+
+
+@partial(jax.jit, static_argnames=("use_depth", "matcher_model"))
 def track_reference_keyframe(st: mstate.MapState, cam, feat: FrameFeatures,
                              ref_kf: jax.Array, R0, t0,
-                             use_depth: bool = False) -> TrackStepOut:
-    """Match the frame against the reference keyframe's landmarks by pure
-    descriptor mutual-NN (reference: TrackReferenceKeyFrame
-    src/Tracking.cc:2740 — LightGlue-BoW matching there; the learned-matcher
-    path is models/lightglue.py, used when enabled in config)."""
+                             use_depth: bool = False, matcher_model=None,
+                             matcher_params=None) -> TrackStepOut:
+    """Match the frame against the reference keyframe's landmarks
+    (reference: TrackReferenceKeyFrame src/Tracking.cc:2740 — the reference
+    runs LightGlue over BoW-bucketed features, LGmatcher::SearchByBoW
+    src/LGmatcher.cpp:225-370 forward at :314). With a trained matcher
+    supplied this runs LightGlue between the keyframe's keypoints and the
+    frame (the primary path); descriptor mutual-NN otherwise."""
     obs = st.obs_lm[ref_kf]
     has = (obs >= 0) & st.kf_kp_mask[ref_kf]
     lm_ids = jnp.where(has, obs, 0)
-    lm_desc = st.lm_desc[lm_ids]
-    dmat = matching.desc_distance_matrix(lm_desc, feat.desc)
-    m = matching.masked_match(dmat, has[:, None] & feat.valid[None, :],
-                              th=matching.TH_HIGH, ratio=0.9, mutual=True)
-    m = matching.resolve_duplicate_targets(m, feat.xy.shape[0])
+    if matcher_model is not None:
+        from dani_slam_tpu.models import lightglue as lg
+        idx, score, ok = lg.match_pair(
+            matcher_model, matcher_params, st.kf_kp[ref_kf],
+            st.kf_desc[ref_kf], has, feat.xy, feat.desc, feat.valid,
+            cam.width, cam.height)
+        m = matching.Matches(idx, 1.0 - score, ok)
+    else:
+        lm_desc = st.lm_desc[lm_ids]
+        dmat = matching.desc_distance_matrix(lm_desc, feat.desc)
+        m = matching.masked_match(dmat, has[:, None] & feat.valid[None, :],
+                                  th=matching.TH_HIGH, ratio=0.9,
+                                  mutual=True)
+        m = matching.resolve_duplicate_targets(m, feat.xy.shape[0])
     bind = jnp.full((feat.xy.shape[0],), -1, jnp.int32)
     bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
         jnp.where(m.ok, lm_ids, -1))
@@ -187,6 +223,12 @@ def track_reference_keyframe(st: mstate.MapState, cam, feat: FrameFeatures,
 
 
 SCALE_FACTOR = 1.2   # pyramid scale (config ORBextractor.scaleFactor)
+
+
+@jax.jit
+def _ref_pose(st: mstate.MapState, k: jax.Array):
+    """Reference keyframe pose gather (dynamic index: ONE cached program)."""
+    return st.kf_R[k], st.kf_t[k]
 
 
 def _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth):
@@ -265,11 +307,13 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit,
-         static_argnames=("min_inliers", "use_depth", "has_vel"))
+         static_argnames=("min_inliers", "use_depth", "has_vel",
+                          "matcher_model"))
 def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
                      last_bind: jax.Array, R_cur, t_cur, Rv, tv,
                      ref_kf: jax.Array, min_inliers: int = 10,
-                     use_depth: bool = False, has_vel: bool = True):
+                     use_depth: bool = False, has_vel: bool = True,
+                     matcher_model=None, matcher_params=None):
     if has_vel:
         R_pred, t_pred = lie.se3_mul(Rv, tv, R_cur, t_cur)
     else:
@@ -291,7 +335,9 @@ def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
 
     def refkf(_):
         o = track_reference_keyframe(st, cam, feat, ref_kf, R_cur, t_cur,
-                                     use_depth=use_depth)
+                                     use_depth=use_depth,
+                                     matcher_model=matcher_model,
+                                     matcher_params=matcher_params)
         return o.R, o.t, o.bindings, o.n_inliers
 
     R2, t2, b2, n2 = jax.lax.cond(n1 < min_inliers, refkf,
@@ -347,7 +393,8 @@ class Tracker:
     def __init__(self, cam: _cam.Camera, caps: mstate.MapCaps = None,
                  sensor: str = "mono", seed: int = 0,
                  min_inliers_track: int = 10, min_inliers_map: int = 20,
-                 kf_tracked_ratio: float = 0.8, max_frames_between_kf: int = 15,
+                 kf_tracked_ratio: float | None = None,
+                 max_frames_between_kf: int = 15,
                  min_frames_between_kf: int = 0, pipelined: bool = False):
         self.cam = cam
         self.caps = caps or mstate.MapCaps()
@@ -356,10 +403,27 @@ class Tracker:
         self.key = jax.random.PRNGKey(seed)
         self.min_inliers_track = min_inliers_track
         self.min_inliers_map = min_inliers_map
+        # keyframe-policy ratio by sensor (reference: thRefRatio = 0.9 mono /
+        # 0.75 stereo-RGBD, src/Tracking.cc:3197-3204 — monocular needs
+        # DENSER keyframes: intra-segment pose drift vs a stale-scale map is
+        # the dominant mono error term)
+        if kf_tracked_ratio is None:
+            kf_tracked_ratio = 0.9 if sensor == "mono" else 0.75
         self.kf_tracked_ratio = kf_tracked_ratio
         self.max_frames_between_kf = max_frames_between_kf
         self.min_frames_between_kf = min_frames_between_kf
         self.pipelined = pipelined
+        # optional trained LightGlue (models/lightglue.MatcherState):
+        # primary matcher for the reference-KF fallback (reference:
+        # TrackReferenceKeyFrame runs LightGlue via SearchByBoW)
+        self.matcher = None
+        # localization-mode visual odometry against last-frame depth points
+        # (reference mbVO, src/Tracking.cc:2090-2134) — set by
+        # System.activate_localization_mode
+        self.localization_vo = False
+        # host hook invoked before each keyframe decision (System wires its
+        # deferred keyframe-pull resolver here)
+        self.pre_kf_decision = None
         self.reset()
 
     def reset(self):
@@ -381,6 +445,7 @@ class Tracker:
         self.t_last = jnp.zeros(3)
         self.vel = None          # (Rv, tv): T_cur * T_last^-1
         self.ref_kf = 0
+        self.ref_kf_fid = -1     # frame id of the ref KF (slot-reuse guard)
         self.ref_kf_dev = jnp.zeros((), jnp.int32)   # device copy — passing
         # jnp.asarray(int) per frame would upload a scalar through the
         # (remote) transport every frame
@@ -426,18 +491,35 @@ class Tracker:
         if self.state == OK:
             # keep DEVICE references — each np.asarray here would be a
             # device->host round-trip per frame; conversion happens lazily in
-            # the `trajectory` property (one bulk transfer at save/eval time)
-            self._traj_dev.append((feat.time, self.R, self.t))
+            # the `trajectory` property (one bulk transfer at save/eval time).
+            # The reference-KF pose AT TRACK TIME rides along so the saved
+            # trajectory can be re-anchored to the REFINED keyframe poses
+            # (reference: SaveTrajectoryTUM stores per-frame T_cam<-refKF and
+            # composes with the final KF pose, src/System.cc:579-638 — this
+            # retroactively applies BA/loop corrections to every frame).
+            R_ref, t_ref = _ref_pose(self.st, self.ref_kf_dev)
+            self._traj_dev.append((feat.time, self.R, self.t, R_ref, t_ref,
+                                   self.ref_kf, self.ref_kf_fid))
         return self.state, self.R, self.t
 
     @property
     def trajectory(self):
-        """Tracked trajectory as [(time, R_cw, t_cw)] numpy triples."""
+        """Tracked trajectory as [(time, R_cw, t_cw)] numpy triples,
+        re-anchored to the CURRENT (refined) reference-keyframe poses."""
         if self._traj_dev:
-            fetched = jax.device_get(self._traj_dev)
-            self._traj_host.extend(
-                (float(tm), np.asarray(R), np.asarray(t))
-                for (tm, R, t) in fetched)
+            fetched, kf_R, kf_t, kf_fid, kf_mask = jax.device_get(
+                (self._traj_dev, self.st.kf_R, self.st.kf_t,
+                 self.st.kf_frame_id, self.st.kf_mask))
+            for (tm, R, t, R_ref, t_ref, slot, fid) in fetched:
+                R, t = np.asarray(R), np.asarray(t)
+                if kf_mask[slot] and kf_fid[slot] == fid:
+                    # T_cr = T_cw_track o inv(T_rw_track); T_cw = T_cr o T_rw_now
+                    R_cr = R @ np.asarray(R_ref).T
+                    t_cr = t - R_cr @ np.asarray(t_ref)
+                    R = R_cr @ kf_R[slot]
+                    t = R_cr @ kf_t[slot] + t_cr
+                # else: ref KF culled & slot reused — keep the raw track pose
+                self._traj_host.append((float(tm), R, t))
             self._traj_dev = []
         return self._traj_host
 
@@ -492,6 +574,7 @@ class Tracker:
         self.last_feat = feat
         self.last_bind = bind
         self.ref_kf = ref_kf
+        self.ref_kf_fid = self.frame_id
         self.ref_kf_dev = jnp.asarray(ref_kf, jnp.int32)
         self.ref_kf_tracked = int((bind >= 0).sum())
         self.last_kf_frame = self.frame_id
@@ -521,10 +604,13 @@ class Tracker:
                 self.inertial.calib.t_bc)
             has_vel = False      # prediction already applied
         Rv, tv = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
+        mm = self.matcher
         R_new, t_new, bind, counts, st = track_frame_step(
             self.st, self.cam, feat, self.last_bind, R_cur, t_cur, Rv, tv,
             self.ref_kf_dev, min_inliers=self.min_inliers_track,
-            use_depth=self.use_depth, has_vel=has_vel)
+            use_depth=self.use_depth, has_vel=has_vel,
+            matcher_model=mm.model if mm is not None else None,
+            matcher_params=mm.params if mm is not None else None)
 
         # VI refinement: preintegration edge to the previous frame refines
         # pose + velocity + biases (reference: tracking switches to
@@ -572,6 +658,22 @@ class Tracker:
             n_track, n = (int(x) for x in np.asarray(counts))  # one sync
             if (n_track < self.min_inliers_track or
                     n < self.min_inliers_map):
+                # localization mode outside the mapped region: fall back to
+                # frame-to-frame VO on the last frame's depth points
+                # (reference mbVO, src/Tracking.cc:2090-2134)
+                if (self.localization_vo and self.use_depth and
+                        self.last_feat is not None):
+                    R_pred, t_pred = lie.se3_mul(Rv, tv, R_cur, t_cur) \
+                        if has_vel else (R_cur, t_cur)
+                    R_vo, t_vo, n_vo = track_last_frame_vo(
+                        self.cam, self.last_feat.xy, self.last_feat.desc,
+                        self.last_feat.depth, self.last_feat.valid,
+                        self.R, self.t, feat, R_pred, t_pred,
+                        use_depth=self.use_depth)
+                    if int(n_vo) >= self.min_inliers_track:
+                        self._apply_track(feat, R_vo, t_vo,
+                                          jnp.full_like(bind, -1), self.st)
+                        return
                 self._on_lost(feat)
                 return
             self._apply_track(feat, R_new, t_new, bind, st)
@@ -654,6 +756,8 @@ class Tracker:
     def _need_new_kf(self, n_tracked: int) -> bool:
         """Reference: NeedNewKeyFrame c1a/c1b/c1c/c2 conditions
         (src/Tracking.cc:3197-3229), simplified to the visual-only rules."""
+        if self.pre_kf_decision is not None:
+            self.pre_kf_decision()   # sync deferred ref_kf_tracked
         since = self.frame_id - self.last_kf_frame
         if since < self.min_frames_between_kf:
             return False

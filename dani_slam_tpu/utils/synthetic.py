@@ -119,3 +119,80 @@ def render_frame(world: SyntheticWorld, cam: _cam.Camera, R_cw, t_cw,
         depth=jnp.asarray(fdepth), valid=jnp.asarray(valid),
         time=jnp.asarray(time, jnp.float32))
     return feat, jnp.asarray(true_ids)
+
+
+def render_image_depth(world_pts, brightness, cam: _cam.Camera, R_cw, t_cw,
+                       spot: float = 2.0, patch: int = 13, bg: float = 40.0,
+                       depth_factor: float = 5000.0, seed: int = 0,
+                       noise: float = 2.0, n_satellites: int = 4,
+                       texture_seed: int = 1234):
+    """Rasterize world points as Gaussian corner spots -> (gray uint8 [H,W],
+    encoded uint16 depth [H,W]).
+
+    Each world point carries a persistent 3-D satellite constellation
+    (texture_seed-deterministic small offsets) stamped as dimmer companion
+    spots: without these, every point looks like the same Gaussian blob,
+    descriptors are indistinguishable, and any matcher degenerates to
+    proximity (measured: 69% mutual-NN precision at ~13 px flow — enough to
+    drag pose optimization into the zero-motion basin). Real scenes have
+    distinctive local texture; the constellation is its cheapest synthetic
+    stand-in, and being true 3-D geometry it stays view-consistent.
+
+    Vectorized patch stamping (np.maximum.at / np.minimum.at over fixed
+    13x13 footprints) so full 640x480 sequences render in seconds on one
+    host core — this feeds the image-in benchmark (the reference's dataset
+    playback, Examples/RGB-D/rgbd_tum.cc, replayed synthetically)."""
+    H, W = cam.height, cam.width
+    rng = np.random.RandomState(seed)
+    world_pts = np.asarray(world_pts)
+    brightness = np.asarray(brightness)
+    if n_satellites > 0:
+        trng = np.random.RandomState(texture_seed)
+        # 3-D offsets sized to land ~2-6 px from the parent at typical
+        # depth/focal (matches the descriptor-training micro-constellation
+        # radius, superpoint_train.make_textured_batch: 2.5-6.5 px)
+        offs = trng.uniform(-0.10, 0.10,
+                            (world_pts.shape[0], n_satellites, 3))
+        offs = offs.astype(np.float32)
+        # keep satellites out of the parent's core so the peak stays put
+        nrm = np.linalg.norm(offs, axis=-1, keepdims=True)
+        offs = offs * (np.maximum(nrm, 0.04) / np.maximum(nrm, 1e-9))
+        sat_amp = (brightness[:, None] *
+                   trng.uniform(0.35, 0.7, (world_pts.shape[0],
+                                            n_satellites))).reshape(-1)
+        sat_pts = (world_pts[:, None, :] + offs).reshape(-1, 3)
+        world_pts = np.concatenate([world_pts, sat_pts], 0)
+        brightness = np.concatenate([brightness, sat_amp], 0)
+    pc = np.asarray(lie.se3_apply(R_cw, t_cw, jnp.asarray(world_pts)))
+    z = pc[:, 2]
+    uv = np.asarray(_cam.project(cam, jnp.asarray(pc)))
+    r = patch // 2
+    vis = ((z > 0.3) & (uv[:, 0] > r + 1) & (uv[:, 0] < W - r - 2) &
+           (uv[:, 1] > r + 1) & (uv[:, 1] < H - r - 2))
+    u, v, zz = uv[vis, 0], uv[vis, 1], z[vis]
+    b = np.asarray(brightness)[vis]
+    u0 = np.round(u).astype(np.int32)
+    v0 = np.round(v).astype(np.int32)
+    off = np.arange(-r, r + 1)
+    dx = off[None, None, :] + (u0 - u)[:, None, None]     # [M,1,P]
+    dy = off[None, :, None] + (v0 - v)[:, None, None]     # [M,P,1]
+    g = b[:, None, None] * np.exp(-(dx ** 2 + dy ** 2) / (2 * spot ** 2))
+    xs = (u0[:, None, None] + off[None, None, :] +
+          np.zeros_like(off)[None, :, None]).ravel()
+    ys = (v0[:, None, None] + off[None, :, None] +
+          np.zeros_like(off)[None, None, :]).ravel()
+    img = np.full((H, W), bg, np.float32)
+    np.maximum.at(img, (ys, xs), (bg + g).ravel())
+    if noise > 0:
+        img = img + rng.randn(H, W).astype(np.float32) * noise
+    depth = np.full((H, W), np.inf, np.float32)
+    zpatch = np.broadcast_to(zz[:, None, None], g.shape).ravel()
+    np.minimum.at(depth, (ys, xs), np.where(g.ravel() > 0.02 * 255, zpatch,
+                                            np.inf))
+    # uint16 range check: depth_factor=5000 (TUM) saturates at 13.1 m —
+    # beyond-range depth must encode as 0 (invalid), NOT wrap modulo 65536
+    # (wrapped depths silently produce garbage landmarks)
+    scaled = depth * depth_factor
+    depth_enc = np.where(np.isfinite(depth) & (scaled <= 65535.0), scaled,
+                         0).astype(np.uint16)
+    return np.clip(img, 0, 255).astype(np.uint8), depth_enc

@@ -1,0 +1,93 @@
+"""Local-BA window overflow behavior (round-1 review: the fixed
+P_opt/P_fix/L_loc window had no test exercising maps LARGER than the
+window).
+
+Reference: LocalBundleAdjustment optimizes ALL covisible keyframes + their
+landmarks (src/Optimizer.cc:1116-1499); the TPU redesign bounds the window
+to fixed shapes. These tests pin the overflow contract: with more covisible
+keyframes than P_opt+P_fix and more local landmarks than L_loc, the solve
+must (a) leave out-of-window state untouched, (b) still reduce an injected
+pose error, and (c) never corrupt the map.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dani_slam_tpu.core import cameras, lie, state as mstate
+from dani_slam_tpu.slam import mapping
+from dani_slam_tpu.slam.system import Sensor, System
+from dani_slam_tpu.utils import synthetic
+
+CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
+CAPS = mstate.MapCaps(K=32, L=2048, N=192, D=64)
+
+
+def build_big_map(n_frames=26):
+    """A map with more keyframes and landmarks than the tiny LBA window
+    used in the tests below."""
+    world = synthetic.make_world(1200, desc_dim=64, seed=3)
+    R, t = synthetic.orbit_trajectory(n_frames, radius=10.0, angle_span=0.9)
+    sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=192,
+                 enable_loop_closing=False, enable_relocalization=False)
+    sys.tracker.max_frames_between_kf = 1     # force a KF every other frame
+    for i in range(n_frames):
+        f, _ = synthetic.render_frame(world, CAM, R[i], t[i], n_max=192,
+                                      with_depth=True, time=i / 30.0,
+                                      seed=i)
+        sys.track_features(f)
+    sys.shutdown()
+    return sys
+
+
+def mean_reproj_error(st, cam):
+    """Mean reprojection residual over all valid observations."""
+    K, N = st.obs_lm.shape
+    kf = jnp.repeat(jnp.arange(K), N)
+    lm = st.obs_lm.reshape(-1)
+    ok = (lm >= 0) & st.kf_kp_mask.reshape(-1) & st.kf_mask[kf] & \
+        jnp.take(st.lm_mask, jnp.maximum(lm, 0))
+    lm_s = jnp.where(ok, lm, 0)
+    pc = jnp.einsum('kij,kj->ki', st.kf_R[kf], st.lm_pos[lm_s]) + st.kf_t[kf]
+    xy = cameras.project(cam, pc)
+    err = jnp.linalg.norm(xy - st.kf_kp.reshape(-1, 2), axis=-1)
+    return float(jnp.sum(jnp.where(ok, err, 0.0)) / jnp.sum(ok))
+
+
+class TestLbaWindowOverflow:
+    def test_overflowing_map_stays_intact(self):
+        sys = build_big_map()
+        st = sys.tracker.st
+        n_kf = int(jnp.sum(st.kf_mask))
+        n_lm = int(jnp.sum(st.lm_mask))
+        # the window below is much smaller than the map
+        assert n_kf > 8 and n_lm > 64, (n_kf, n_lm)
+        center = jnp.asarray(sys.tracker.ref_kf)
+        before = mean_reproj_error(st, CAM)
+        st2 = mapping.local_bundle_adjustment(st, CAM, center, P_opt=4,
+                                              P_fix=4, L_loc=64, iters=4)
+        after = mean_reproj_error(st2, CAM)
+        # a bounded window must not corrupt the global map
+        assert np.isfinite(after)
+        assert after < max(before * 1.5, before + 0.05), (before, after)
+        # masks unchanged; positions of non-window landmarks unchanged
+        assert bool(jnp.all(st2.kf_mask == st.kf_mask))
+        assert bool(jnp.all(st2.lm_mask == st.lm_mask))
+        moved = jnp.any(st2.lm_pos != st.lm_pos, axis=-1)
+        assert int(jnp.sum(moved)) <= 64, "moved more landmarks than L_loc"
+
+    def test_window_recovers_injected_pose_error(self):
+        sys = build_big_map()
+        st = sys.tracker.st
+        center = int(sys.tracker.ref_kf)
+        # perturb the center keyframe's translation
+        t_true = np.asarray(st.kf_t[center])
+        t_bad = t_true + np.asarray([0.03, -0.02, 0.02])
+        st_bad = dataclasses.replace(
+            st, kf_t=st.kf_t.at[center].set(jnp.asarray(t_bad)))
+        st2 = mapping.local_bundle_adjustment(
+            st_bad, CAM, jnp.asarray(center), P_opt=4, P_fix=4, L_loc=64,
+            iters=6)
+        err_before = np.linalg.norm(t_bad - t_true)
+        err_after = np.linalg.norm(np.asarray(st2.kf_t[center]) - t_true)
+        assert err_after < 0.5 * err_before, (err_before, err_after)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dani_slam_tpu.parallel import mesh as pmesh
 from dani_slam_tpu.parallel import train as ptrain
@@ -36,6 +37,17 @@ class TestShardedBA:
         lmv = jnp.ones(128, bool)
         lm_s, lmv_s = pmesh.shard_landmarks(m, lm, lmv)
         assert len(lm_s.sharding.device_set) == 8
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_cache():
+    """The sharded-training compiles below are the largest CPU compiles in
+    the suite; after ~60 test files the accumulated executable cache has
+    twice segfaulted XLA:CPU at exactly this point (jax compiler
+    backend_compile_and_load). Dropping the caches first keeps the compile
+    within bounds; the handful of recompiles afterwards is cheap."""
+    jax.clear_caches()
+    yield
 
 
 class TestShardedTraining:

@@ -180,3 +180,62 @@ class TestLocalizationMode:
         assert sys.n_keyframes() == kf_before
         assert sys.n_landmarks() == lm_before
         assert ok >= 16
+
+    def test_vo_keeps_tracking_outside_map(self):
+        """Leaving the mapped region in localization mode: temporal
+        last-frame VO points keep the pose alive (reference: UpdateLastFrame
+        temporal points + mbVO mode, src/Tracking.cc:2801-2873,2090-2134)."""
+        world = synthetic.make_world(3000, desc_dim=64, seed=21,
+                                     box=((-6.0, 6.0), (-4.0, 4.0),
+                                          (-6.0, 18.0)))
+        # forward path: map the first stretch, then keep walking into
+        # unmapped territory with mapping frozen
+        R_gt, t_gt = synthetic.forward_trajectory(40, step=0.25)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512)
+        for i in range(10):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=512, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=i / 30.0)
+            sys.track_features(feat)
+        sys.activate_localization_mode()
+        ok = 0
+        for i in range(10, 40):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=512, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=i / 30.0)
+            s, R, t = sys.track_features(feat)
+            ok += s == "OK"
+        # 7.5 m traveled past the mapped stretch — VO must carry most frames
+        assert ok >= 24, f"only {ok}/30 frames tracked"
+        C = -np.asarray(R).T @ np.asarray(t)
+        C_gt = -np.asarray(R_gt[39]).T @ np.asarray(t_gt[39])
+        assert np.linalg.norm(C - C_gt) < 0.8, (C, C_gt)
+
+
+class TestTimestampJump:
+    def test_stream_cut_starts_new_map(self):
+        """A >1 s timestamp gap stashes the map and restarts (reference:
+        src/Tracking.cc:1839-1875)."""
+        world = synthetic.make_world(1500, desc_dim=64, seed=5)
+        R_gt, t_gt = synthetic.orbit_trajectory(30, radius=10.0,
+                                                angle_span=0.5)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512)
+        sys.min_kfs_to_stash = 2
+        for i in range(24):
+            feat, _ = synthetic.render_frame(world, CAM, R_gt[i], t_gt[i],
+                                             n_max=512, noise_px=0.3, seed=i,
+                                             with_depth=True, time=i / 30.0)
+            sys.track_features(feat, timestamp=i / 30.0)
+        assert sys.tracker.state == "OK"
+        assert sys.n_keyframes() >= sys.min_kfs_to_stash
+        n_maps_before = sys.atlas.n_maps()
+        # 5-second stream cut
+        t2 = 24 / 30.0 + 5.0
+        feat, _ = synthetic.render_frame(world, CAM, R_gt[24], t_gt[24],
+                                         n_max=512, noise_px=0.3, seed=24,
+                                         with_depth=True, time=t2)
+        sys.track_features(feat, timestamp=t2)
+        # the old map was stashed into the atlas and tracking restarted
+        assert sys.atlas.n_maps() == n_maps_before + 1

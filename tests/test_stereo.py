@@ -93,3 +93,51 @@ class TestStereoSLAM:
         gt = ev.centers_from_tcw(np.asarray(R_gt)[idx], np.asarray(t_gt)[idx])
         err = ev.ate_rmse(est, gt, with_scale=False)
         assert err < 0.08, f"stereo metric ATE {err:.3f}"
+
+
+class TestFisheyeStereo:
+    def test_fisheye_depth_recovery(self):
+        """Unrectified KB8 stereo: lapping-area matching + ray triangulation
+        recovers metric depth (reference: ComputeStereoFishEyeMatches
+        src/Frame.cc:1060 + KB8 TriangulateMatches
+        src/CameraModels/KannalaBrandt8.cpp:306)."""
+        from dani_slam_tpu.core import cameras as cam_mod
+        from dani_slam_tpu.core import lie
+
+        camL = cam_mod.Camera.kb8(280.0, 280.0, 320.0, 240.0,
+                                  -0.01, 0.02, -0.005, 0.001, 640, 480)
+        camR = cam_mod.Camera.kb8(282.0, 282.0, 318.0, 242.0,
+                                  -0.012, 0.021, -0.004, 0.0012, 640, 480)
+        # right camera 11 cm to the left-cam's +x, slight yaw
+        ang = 0.02
+        R_rl = jnp.asarray(np.array(
+            [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+             [-np.sin(ang), 0, np.cos(ang)]], np.float32))
+        t_rl = jnp.asarray([-0.11, 0.0, 0.0])
+
+        rng = np.random.RandomState(3)
+        n = 128
+        # depths where an 11 cm baseline still clears the reference's
+        # parallax gate (cos > 0.9998 rejected, KannalaBrandt8.cpp:342)
+        pc_l = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                         rng.uniform(1.5, 4.5, n)], 1).astype(np.float32)
+        xy_l = np.asarray(cam_mod.project(camL, jnp.asarray(pc_l)))
+        pc_r = np.asarray(lie.se3_apply(R_rl, t_rl, jnp.asarray(pc_l)))
+        xy_r = np.asarray(cam_mod.project(camR, jnp.asarray(pc_r)))
+        inb = lambda xy: ((xy[:, 0] > 2) & (xy[:, 0] < 638) &
+                          (xy[:, 1] > 2) & (xy[:, 1] < 478))
+        ok = inb(xy_l) & inb(xy_r) & (pc_r[:, 2] > 0.1)
+        desc = rng.randn(n, 64).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        perm = rng.permutation(n)   # right keypoints in scrambled order
+
+        from dani_slam_tpu.slam import frame as frame_mod
+        depth = frame_mod.stereo_fisheye_depth(
+            camL, camR, jnp.asarray(xy_l), jnp.asarray(desc),
+            jnp.asarray(ok), jnp.asarray(xy_r[perm]),
+            jnp.asarray(desc[perm]), jnp.asarray(ok[perm]), R_rl, t_rl)
+        depth = np.asarray(depth)
+        got = np.isfinite(depth) & ok
+        assert got.sum() >= 0.8 * ok.sum(), f"{got.sum()}/{ok.sum()} matched"
+        err = np.abs(depth[got] - pc_l[got, 2])
+        assert np.median(err) < 0.05, f"median depth err {np.median(err):.3f}"
