@@ -145,13 +145,15 @@ def first_free_slot(mask: jax.Array) -> jax.Array:
 
 def free_slots(mask: jax.Array, count: int) -> jax.Array:
     """Indices of the first `count` free slots (padded with last index).
-    top_k instead of a full argsort: the table is large (L up to 2^15+) and
-    this runs several times per keyframe step."""
+
+    NB: argsort, NOT lax.top_k — XLA's TPU sort is fast (~0.15 ms at
+    L=2^15) while top_k lowers to a sequential selection that measures
+    ~12-16 ms at the same size. Full sort + slice wins by two orders of
+    magnitude for any non-tiny k."""
     free = jnp.logical_not(mask)
     idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
     key = jnp.where(free, idx, mask.shape[0] + idx)
-    _, order = jax.lax.top_k(-key, count)
-    return order
+    return jnp.argsort(key)[:count]
 
 
 def num_keyframes(st: MapState) -> jax.Array:
@@ -359,8 +361,8 @@ def best_covisible(st: MapState, k: jax.Array, n: int):
     (reference: KeyFrame::GetBestCovisibilityKeyFrames)."""
     w = jnp.where(st.kf_mask, st.covis[k], -1)
     w = w.at[k].set(-1)
-    vals, idx = jax.lax.top_k(w, n)
-    return idx, vals
+    idx = jnp.argsort(-w)[:n]          # argsort >> lax.top_k on TPU
+    return idx, w[idx]
 
 
 def local_map_landmark_mask(st: MapState, kf_sel: jax.Array) -> jax.Array:

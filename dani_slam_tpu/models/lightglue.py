@@ -58,9 +58,13 @@ class Attention(nn.Module):
         D, H = self.dim, self.heads
         hd = D // H
         dt = self.compute_dtype
-        q = nn.Dense(D, name="q")(q_in)
-        k = nn.Dense(D, name="k")(kv_in)
-        v = nn.Dense(D, name="v")(kv_in)
+        # all projection GEMMs in bf16 (params stay f32): matcher scores are
+        # gated at 0.05, insensitive to bf16 rounding — and the global
+        # "highest" matmul precision (needed by the SLAM geometry) would
+        # otherwise run these as 6-pass f32 emulation
+        q = nn.Dense(D, name="q", dtype=dt)(q_in)
+        k = nn.Dense(D, name="k", dtype=dt)(kv_in)
+        v = nn.Dense(D, name="v", dtype=dt)(kv_in)
         if q_angles is not None:
             q = _rotary(q, jnp.tile(q_angles, (1, H)))
             k = _rotary(k, jnp.tile(kv_angles, (1, H)))
@@ -75,7 +79,7 @@ class Attention(nn.Module):
                          preferred_element_type=jnp.float32)
         out = out.reshape(out.shape[:-2] + (D,))
         out = jnp.where(q_mask[..., None], out, 0.0)
-        return nn.Dense(D, name="proj")(out)
+        return nn.Dense(D, name="proj", dtype=self.compute_dtype)(out)
 
 
 class GlueLayer(nn.Module):
@@ -84,24 +88,28 @@ class GlueLayer(nn.Module):
 
     @nn.compact
     def __call__(self, d0, d1, m0, m1, ang0, ang1):
+        dt = jnp.bfloat16
+        dense = lambda c, name: nn.Dense(c, name=name, dtype=dt)
         # self-attention (with rotary positions)
         sa = Attention(self.dim, self.heads, name="self_attn")
-        d0 = d0 + nn.Dense(self.dim, name="self_mlp0b")(nn.gelu(
-            nn.Dense(2 * self.dim, name="self_mlp0a")(
-                jnp.concatenate([d0, sa(d0, d0, m0, m0, ang0, ang0)], -1))))
-        d1 = d1 + nn.Dense(self.dim, name="self_mlp1b")(nn.gelu(
-            nn.Dense(2 * self.dim, name="self_mlp1a")(
-                jnp.concatenate([d1, sa(d1, d1, m1, m1, ang1, ang1)], -1))))
+        d0 = d0 + dense(self.dim, "self_mlp0b")(nn.gelu(
+            dense(2 * self.dim, "self_mlp0a")(
+                jnp.concatenate([d0, sa(d0, d0, m0, m0, ang0, ang0)], -1)))
+            ).astype(jnp.float32)
+        d1 = d1 + dense(self.dim, "self_mlp1b")(nn.gelu(
+            dense(2 * self.dim, "self_mlp1a")(
+                jnp.concatenate([d1, sa(d1, d1, m1, m1, ang1, ang1)], -1)))
+            ).astype(jnp.float32)
         # cross-attention (shared weights both directions)
         ca = Attention(self.dim, self.heads, name="cross_attn")
         c0 = ca(d0, d1, m0, m1)
         c1 = ca(d1, d0, m1, m0)
-        d0 = d0 + nn.Dense(self.dim, name="cross_mlp0b")(nn.gelu(
-            nn.Dense(2 * self.dim, name="cross_mlp0a")(
-                jnp.concatenate([d0, c0], -1))))
-        d1 = d1 + nn.Dense(self.dim, name="cross_mlp1b")(nn.gelu(
-            nn.Dense(2 * self.dim, name="cross_mlp1a")(
-                jnp.concatenate([d1, c1], -1))))
+        d0 = d0 + dense(self.dim, "cross_mlp0b")(nn.gelu(
+            dense(2 * self.dim, "cross_mlp0a")(
+                jnp.concatenate([d0, c0], -1)))).astype(jnp.float32)
+        d1 = d1 + dense(self.dim, "cross_mlp1b")(nn.gelu(
+            dense(2 * self.dim, "cross_mlp1a")(
+                jnp.concatenate([d1, c1], -1)))).astype(jnp.float32)
         return d0, d1
 
 

@@ -50,6 +50,19 @@ def train_codebook(desc: jax.Array, mask: jax.Array, codebook0: jax.Array,
 
 
 @jax.jit
+def update_bow_row(bow: jax.Array, kf_desc: jax.Array, kf_kp_mask: jax.Array,
+                   k: jax.Array, codebook: jax.Array):
+    """Quantize keyframe k's descriptors and write its BoW row — ONE cached
+    program with a TRACED slot index. (Host-int indexing like kf_desc[5]
+    bakes the index as a constant and re-compiles per keyframe slot; through
+    a remote-compile transport that is seconds per new slot.) Returns
+    (bow, row)."""
+    w = quantize(kf_desc[k], kf_kp_mask[k], codebook)
+    row = bow_vector(w, codebook.shape[0])
+    return bow.at[k].set(row), row
+
+
+@jax.jit
 def quantize(desc: jax.Array, mask: jax.Array, codebook: jax.Array):
     """Descriptors -> word ids [N] (argmax cosine; -1 for invalid)."""
     sim = jnp.dot(desc, codebook.T, preferred_element_type=jnp.float32)

@@ -125,8 +125,8 @@ def decode_predictions(outs: Sequence[jax.Array], top_k: int = 256):
     scores = jnp.concatenate(all_scores)
     cls = jnp.concatenate(all_cls)
     k = min(top_k, scores.shape[0])
-    top_s, top_i = jax.lax.top_k(scores, k)
-    return boxes[top_i], top_s, cls[top_i]
+    top_i = jnp.argsort(-scores)[:k]   # argsort >> lax.top_k on TPU
+    return boxes[top_i], scores[top_i], cls[top_i]
 
 
 def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:

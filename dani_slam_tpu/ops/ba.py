@@ -149,14 +149,17 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         g_p = b_p.reshape(P, N, 6).sum(1)
         # landmark blocks: one-hot matmuls (MXU), no scatter; f32 products
         # (one-hot entries are exact 0/1, JtJ stays full precision)
+        # HIGH (3-pass bf16, ~f32 accurate) for the big one-hot
+        # contractions: at "highest" these 134 MB operands run 6 passes
+        hp = jax.lax.Precision.HIGH
         H_ll = jnp.einsum('pnl,pnij->lij', onehot,
-                          JtJ_l.reshape(P, N, 3, 3),
+                          JtJ_l.reshape(P, N, 3, 3), precision=hp,
                           preferred_element_type=jnp.float32)
         H_pl = jnp.einsum('pnl,pnik->plik', onehot,
-                          JtJ_pl.reshape(P, N, 6, 3),
+                          JtJ_pl.reshape(P, N, 6, 3), precision=hp,
                           preferred_element_type=jnp.float32)
         g_l = jnp.einsum('pnl,pnk->lk', onehot,
-                         b_l.reshape(P, N, 3),
+                         b_l.reshape(P, N, 3), precision=hp,
                          preferred_element_type=jnp.float32)
 
         # damping
@@ -199,7 +202,10 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         t_new = jnp.einsum('pij,pj->pi', dR, t) + dt
         lm_new = lm + dl
 
-        _, c_old = cost_of(R, t, lm, base_valid)
+        # c_old from the residuals computed at iteration start (saves one
+        # of three full residual evaluations per LM iteration)
+        c_old = jnp.sum(jnp.where(base_valid,
+                                  _rho(c, delta) if robust else c, 0.0))
         _, c_new = cost_of(R_new, t_new, lm_new, base_valid)
         better = c_new < c_old
         R = jnp.where(better, R_new, R)

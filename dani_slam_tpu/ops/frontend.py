@@ -83,7 +83,10 @@ def select_keypoints(heat: jax.Array, n_max: int = 1024, threshold: float = 0.00
         flat_s = jnp.pad(flat_s, (0, n_max - n_cand))
         flat_x = jnp.pad(flat_x, (0, n_max - n_cand))
         flat_y = jnp.pad(flat_y, (0, n_max - n_cand))
-    top_s, top_i = jax.lax.top_k(flat_s, n_max)
+    # argsort, not lax.top_k: TPU top_k lowers to sequential selection
+    # (~10 ms at these sizes; full sort is ~0.1 ms — core/state.free_slots)
+    top_i = jnp.argsort(-flat_s)[:n_max]
+    top_s = jnp.take(flat_s, top_i)
     xy = jnp.stack([jnp.take(flat_x, top_i), jnp.take(flat_y, top_i)],
                    axis=-1).astype(jnp.float32)
     valid = top_s > threshold

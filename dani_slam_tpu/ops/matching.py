@@ -52,8 +52,12 @@ def predict_scale_level(dist: jax.Array, dist_max: jax.Array,
 def desc_distance_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     """Pairwise L2 distance between unit descriptors a [M,D], b [N,D].
     One MXU matmul: ||a-b|| = sqrt(2-2ab) (reference DescriptorDistance is
-    cv L2 norm, src/LGmatcher.cpp:2009-2013)."""
-    dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    cv L2 norm, src/LGmatcher.cpp:2009-2013). Bf16 matmul precision is
+    ample here (unit-vector dot error ~0.008 against accept gates at
+    0.4/0.9) — the global "highest" setting protects the SLAM geometry and
+    would run this large matmul as 6-pass f32 emulation."""
+    dots = jnp.dot(a, b.T, precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.float32)
     return jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
 
 
@@ -121,6 +125,14 @@ def search_by_projection(proj_xy: jax.Array, proj_valid: jax.Array,
     r2 = (r * r) if r.ndim == 0 else (r * r)[:, None]
     window = (dx * dx + dy * dy) <= r2
     mask = window & proj_valid[:, None] & kp_valid[None, :]
+    # one-target-per-keypoint uniqueness: for LARGE query sets (local-map
+    # tracking, M=2^15) use the DENSE column argmin (mutual-best) — the
+    # resolve_duplicate_targets scatters serialize on TPU (~ms at that M).
+    # For small query sets keep the reference's best-per-target semantics
+    # (scatter cost is negligible and it accepts more matches: a query beaten
+    # at its own argmin target is not discarded wholesale).
+    if proj_xy.shape[0] > 4096:
+        return masked_match(d, mask, th=th_desc, ratio=ratio, mutual=True)
     m = masked_match(d, mask, th=th_desc, ratio=ratio, mutual=mutual)
     return resolve_duplicate_targets(m, kp_xy.shape[0])
 

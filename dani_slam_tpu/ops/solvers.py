@@ -133,7 +133,14 @@ def pose_optimize(R0, t0, cam, pts_w, obs_xy, mask,
         R_new = dR @ R
         t_new = dR @ t + dt
 
-        _, cost_old = chi2_of(R, t, inl & mask, robust)
+        # cost_old from the residuals already computed at iteration start
+        # (a third full residual evaluation per iteration is pure waste)
+        if robust:
+            sq_c = jnp.sqrt(jnp.maximum(c, 1e-12))
+            rho_c = jnp.where(sq_c <= delta, c, 2 * delta * sq_c - delta * delta)
+        else:
+            rho_c = c
+        cost_old = jnp.sum(jnp.where(inl & mask, rho_c, 0.0))
         _, cost_new = chi2_of(R_new, t_new, inl & mask, robust)
         better = cost_new < cost_old
         R = jnp.where(better, R_new, R)

@@ -408,12 +408,17 @@ class LoopCloser:
         self.consistency_needed = 3
         self._streak_cand = -1
         self._streak = 0
+        self._pending_cand = None   # deferred loop-candidate pull
 
     def on_keyframe(self, st: mstate.MapState, kf: int,
-                    kf_count: int | None = None):
+                    kf_count: int | None = None, kf_dev=None):
         """Add KF to the database; attempt loop detection + correction.
         Returns (possibly corrected) state. kf_count lets the caller pass
-        its host-side keyframe counter (avoids a device pull per KF)."""
+        its host-side keyframe counter (avoids a device pull per KF);
+        kf_dev the device-side slot scalar (avoids per-slot recompiles of
+        the BoW update and a scalar upload)."""
+        if kf_dev is None:
+            kf_dev = jnp.asarray(kf, jnp.int32)
         if (not self._codebook_trained and kf_count is not None and
                 kf_count >= self.train_codebook_after):
             desc = st.kf_desc.reshape(-1, st.kf_desc.shape[-1])
@@ -422,9 +427,8 @@ class LoopCloser:
             self._codebook_trained = True
             self.bow = vocab.rebuild_bow_rows(st.kf_desc, st.kf_kp_mask,
                                               st.kf_mask, self.codebook)
-        w = vocab.quantize(st.kf_desc[kf], st.kf_kp_mask[kf], self.codebook)
-        self.bow = self.bow.at[kf].set(
-            vocab.bow_vector(w, self.codebook.shape[0]))
+        self.bow, row = vocab.update_bow_row(
+            self.bow, st.kf_desc, st.kf_kp_mask, kf_dev, self.codebook)
 
         if not self.detect_loops:
             return st
@@ -433,9 +437,16 @@ class LoopCloser:
         if kf_count < 12 or kf_count - self.last_loop_kf < self.min_kf_gap:
             return st
 
-        idx, vals = vocab.detect_candidates(
-            self.bow, st.kf_mask, self.bow[kf], st.covis, jnp.asarray(kf),
-            n_best=3)
+        # defer the candidate host-pull by ONE keyframe: pulling idx/vals
+        # here would synchronize the host with the just-dispatched keyframe
+        # program every time (the reference's LoopClosing thread also lags
+        # the keyframe queue, src/LoopClosing.cc:91-118)
+        prev = self._pending_cand
+        self._pending_cand = (vocab.detect_candidates(
+            self.bow, st.kf_mask, row, st.covis, kf_dev, n_best=3), kf)
+        if prev is None:
+            return st
+        (idx, vals), kf = prev
         best = int(idx[0])
         if float(vals[0]) <= 0.0 or best == kf:
             self._streak = 0

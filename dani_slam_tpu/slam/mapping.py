@@ -99,7 +99,7 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
         r2_all = _cam.unproject(cam, kp2)
         r2 = r2_all[m.idx]
 
-        X1 = _cam.triangulate_two_view(r1, r2, R21, t21)  # in cam1 frame
+        X1 = _cam.triangulate_midpoint(r1, r2, R21, t21)  # in cam1 frame
         z1 = X1[:, 2]
         X2 = lie.se3_apply(R21, t21, X1)
         z2 = X2[:, 2]
@@ -141,16 +141,26 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
     return st
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("max_create",))
 def create_depth_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
-                           max_depth: jax.Array | float = 1e9):
-    """RGB-D/stereo: create landmarks directly from measured depth for
-    unbound keypoints (reference: close-point creation at KF insertion,
-    src/Tracking.cc:3320-3390)."""
+                           max_depth: jax.Array | float = 1e9,
+                           close_depth: jax.Array | float = 3.0,
+                           max_create: int = 100):
+    """RGB-D/stereo: create landmarks from measured depth for unbound
+    keypoints — capped like the reference: every point closer than the
+    close threshold, plus the CLOSEST remaining until max_create total
+    (reference: CreateNewKeyFrame sorts by depth and stops at 100 points,
+    src/Tracking.cc:3320-3390). Without the cap every keyframe mints
+    hundreds of duplicates of merely-unmatched existing landmarks; the map
+    bloats, found/visible ratios crater, and MapPointCulling then guts it."""
     kp = st.kf_kp[kf_new]
     depth = st.kf_depth[kf_new]
     unb = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
     good = unb & jnp.isfinite(depth) & (depth > 0) & (depth < max_depth)
+    order = jnp.argsort(jnp.where(good, depth, jnp.inf))
+    rank = jnp.zeros((kp.shape[0],), jnp.int32).at[order].set(
+        jnp.arange(kp.shape[0], dtype=jnp.int32))
+    good &= (depth < close_depth) | (rank < max_create)
     R1 = st.kf_R[kf_new]
     t1 = st.kf_t[kf_new]
     rays = _cam.unproject(cam, kp)
@@ -229,7 +239,8 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
     # NB: lax.top_k returns (values, indices) — round-2 review caught the
     # swapped unpack here, which silently reduced the optimized window to
     # the (always-fixed) center keyframe, making local BA landmark-only
-    top_w, top_idx = jax.lax.top_k(wrow, P_opt - 1)
+    top_idx = jnp.argsort(-wrow)[:P_opt - 1]
+    top_w = wrow[top_idx]
     opt_idx = jnp.concatenate([center_kf[None], top_idx])      # [P_opt]
     opt_real = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
     opt_real &= st.kf_mask[opt_idx]
@@ -248,8 +259,10 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
                opt_real[:, None])
     win_cnt = jnp.zeros((st.caps.L,), jnp.int32).at[
         jnp.where(valid_w, obs_w, 0)].add(valid_w.astype(jnp.int32))
+    # argsort not lax.top_k: TPU top_k is ~100x slower at L=2^15 (see
+    # core/state.free_slots)
     lkey = jnp.where(lm_sel, win_cnt, -1)
-    _, loc_lm = jax.lax.top_k(lkey, L_loc)           # [L_loc] global ids
+    loc_lm = jnp.argsort(-lkey)[:L_loc]              # [L_loc] global ids
     loc_lm_valid = lm_sel[loc_lm]
     inv = jnp.full((st.caps.L,), -1, jnp.int32).at[loc_lm].set(
         jnp.arange(L_loc, dtype=jnp.int32))
@@ -261,7 +274,7 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
     sees_local = obs_valid & (jnp.take(inv, obs_safe) >= 0)    # [K,N]
     observer_cnt = jnp.sum(sees_local, axis=1).astype(jnp.int32)
     observer_cnt = jnp.where(st.kf_mask & ~kf_sel, observer_cnt, 0)
-    fix_idx = jax.lax.top_k(observer_cnt, P_fix)[1]
+    fix_idx = jnp.argsort(-observer_cnt)[:P_fix]
     fix_real = observer_cnt[fix_idx] > 0
 
     all_idx = jnp.concatenate([opt_idx, fix_idx])              # [P]

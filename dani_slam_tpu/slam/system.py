@@ -45,6 +45,13 @@ class System:
                  enable_relocalization: bool = True,
                  pipelined: bool = False, detector=None, matcher="auto",
                  imu_calib=None):
+        # TPU default matmul precision is bfloat16 passes — fine for the
+        # nets (they cast to bf16 explicitly) but FATAL for the f32 SLAM
+        # geometry: pose solves/triangulation degrade until tracking dies
+        # (verified on-device: tracking collapses mid-sequence at default
+        # precision, runs clean at "highest"). Explicitly-cast bf16 model
+        # matmuls are unaffected by this setting.
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.cam = cam
         self.sensor = sensor
         self.caps = caps or mstate.MapCaps()
@@ -223,6 +230,7 @@ class System:
         if self.loop_closer is not None:
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.last_loop_kf = -10 ** 9
+            self.loop_closer._pending_cand = None
         self._kf_count = 0
         if self.use_imu:
             self._kf_window_marks = []
@@ -258,6 +266,26 @@ class System:
             matcher_params=mm.params if mm is not None else None)
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
+        # re-anchor the tracker's pose chain onto the BA-refined keyframe
+        # (reference: src/Tracking.cc:1909-1915); all device-side, no pull
+        tr.R, tr.t, tr.R_last, tr.t_last, cR, ct = tracking.reanchor_chain(
+            st, k, R_kf, t_kf, tr.R, tr.t, tr.R_last, tr.t_last)
+        # pipelined mode: pending rollback snapshots + deferred keyframe
+        # poses must receive the same correction, or a rollback would undo
+        # the re-anchoring
+        if tr._pending:
+            fixed = []
+            for (counts, pfeat, pbind, fpose, snap) in tr._pending:
+                fR, ft = tracking.apply_chain_correction(fpose[0], fpose[1],
+                                                         cR, ct)
+                (sR, st_, sRl, stl, svel, sst, slb, slf, sltime,
+                 sinert) = snap
+                sR, st_ = tracking.apply_chain_correction(sR, st_, cR, ct)
+                sRl, stl = tracking.apply_chain_correction(sRl, stl, cR, ct)
+                fixed.append((counts, pfeat, pbind, (fR, ft),
+                              (sR, st_, sRl, stl, svel, sst, slb, slf,
+                               sltime, sinert)))
+            tr._pending = fixed
         # Defer the host pull of (slot, n_tracked) until the NEXT frame:
         # an immediate device_get stalls the host for the whole keyframe
         # program (plus one transport RTT) while the device then sits idle
@@ -296,7 +324,8 @@ class System:
         tr.ref_kf_tracked = int(n_host)
         if self.loop_closer is not None:
             tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
-                                                 kf_count=self._kf_count)
+                                                 kf_count=self._kf_count,
+                                                 kf_dev=tr.ref_kf_dev)
         if self.atlas.n_maps() > 0:
             self._try_map_merge()
 

@@ -159,8 +159,12 @@ def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
     bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
         jnp.where(m.ok, lm_ids, -1))
 
+    # 2 rounds suffice here: this pose only SEEDS the local-map search;
+    # the final accuracy comes from track_local_map's full 4-round solve
+    # (the fused frame program runs both — halving the first solve's rounds
+    # trims the latency-bound LM chain)
     res = _optimize_with_bindings(st, cam, feat, bind, R_pred, t_pred,
-                                  use_depth)
+                                  use_depth, rounds=4)
     return res
 
 
@@ -231,7 +235,34 @@ def _ref_pose(st: mstate.MapState, k: jax.Array):
     return st.kf_R[k], st.kf_t[k]
 
 
-def _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth):
+@jax.jit
+def reanchor_chain(st: mstate.MapState, k: jax.Array, R_pre, t_pre,
+                   R_cur, t_cur, R_last, t_last):
+    """Apply the mapping-side correction of keyframe k (pre-BA pose ->
+    st pose) to the tracker's frame chain: T_cw' = T_cw o (T_kw_pre^-1 o
+    T_kw_post). Without this the chain drifts from the map by every local-BA
+    correction, old-map matches fall outside the chi2 gate, and tracked
+    counts decay until loss (reference: Tracking re-reads the BA-updated map
+    and recomputes the last frame's pose relative to its reference keyframe,
+    src/Tracking.cc:1909-1915). The constant-velocity model (left-relative)
+    is invariant under this right-composition."""
+    corr = lie.se3_mul(*lie.se3_inv(R_pre, t_pre), st.kf_R[k], st.kf_t[k])
+    R_c, t_c = lie.se3_mul(R_cur, t_cur, *corr)
+    R_l, t_l = lie.se3_mul(R_last, t_last, *corr)
+    return R_c, t_c, R_l, t_l, corr[0], corr[1]
+
+
+@jax.jit
+def apply_chain_correction(R, t, corr_R, corr_t):
+    """Right-compose the map correction onto a stored pose (used to keep
+    PIPELINED-mode rollback snapshots consistent with the re-anchored
+    chain — a rollback restoring pre-correction poses would silently undo
+    the re-anchoring and re-introduce pose-to-map misregistration)."""
+    return lie.se3_mul(R, t, corr_R, corr_t)
+
+
+def _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth,
+                            rounds: int = 4):
     has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
     lm_pos = st.lm_pos[jnp.where(has, bind, 0)]
     # per-observation information by pyramid level (reference: invSigma2 =
@@ -241,7 +272,7 @@ def _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth):
     res = solvers.pose_optimize(
         R0, t0, cam, lm_pos, feat.xy, has, inv_sigma2=inv_sigma2,
         obs_depth=feat.depth if use_depth else None,
-        use_depth=use_depth)
+        use_depth=use_depth, rounds=rounds)
     bind = jnp.where(res.inliers | ~has, bind, -1)   # drop outlier matches
     return TrackStepOut(res.R, res.t, bind, res.n_inliers, st)
 
@@ -347,7 +378,15 @@ def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
     R3 = lie.orthonormalize(out3.R)
     # velocity for next frame: T_cur_new * T_cur_prev^-1... host composes with
     # PREVIOUS accepted pose, so return the pose and let host form velocity.
-    counts = jnp.stack([n2, out3.n_inliers]).astype(jnp.int32)
+    # close-point statistics for the keyframe policy (reference:
+    # bNeedToInsertClose — tracked close points < 100 while > 70 close
+    # keypoints remain unbound means the view is sliding onto unmapped
+    # territory, src/Tracking.cc:3159-3196)
+    close = feat.valid & jnp.isfinite(feat.depth) & (feat.depth > 0)
+    n_close_tracked = jnp.sum((out3.bindings >= 0) & close)
+    n_close_free = jnp.sum((out3.bindings < 0) & close)
+    counts = jnp.stack([n2, out3.n_inliers, n_close_tracked,
+                        n_close_free]).astype(jnp.int32)
     return R3, out3.t, out3.bindings, counts, out3.st
 
 
@@ -655,7 +694,8 @@ class Tracker:
             self._pending.append((counts, feat, bind, (R_new, t_new),
                                   snapshot))
         else:
-            n_track, n = (int(x) for x in np.asarray(counts))  # one sync
+            n_track, n, n_ct, n_cf = (
+                int(x) for x in np.asarray(counts))  # one sync
             if (n_track < self.min_inliers_track or
                     n < self.min_inliers_map):
                 # localization mode outside the mapped region: fall back to
@@ -677,7 +717,7 @@ class Tracker:
                 self._on_lost(feat)
                 return
             self._apply_track(feat, R_new, t_new, bind, st)
-            if self._need_new_kf(n):
+            if self._need_new_kf(n, n_ct, n_cf):
                 self._create_kf(feat, bind)
 
     def _apply_track(self, feat, R_new, t_new, bind, st):
@@ -713,7 +753,13 @@ class Tracker:
         while self._pending and (force or
                                  len(self._pending) > self.pipeline_depth):
             counts, feat, bind, frame_pose, snapshot = self._pending.pop(0)
-            n_track, n = (int(x) for x in np.asarray(counts))
+            n_track, n, n_ct, n_cf = (int(x) for x in np.asarray(counts))
+            import os as _os
+            if _os.environ.get("DANI_DEBUG_TRACK"):
+                import sys as _s
+                print(f"   resolve: n_track={n_track} n={n} close={n_ct}/"
+                      f"{n_cf} ref={self.ref_kf_tracked}", file=_s.stderr,
+                      flush=True)
             if n_track < self.min_inliers_track or n < self.min_inliers_map:
                 # roll back to before the failed frame, discarding the
                 # optimistic updates of the frames after it
@@ -730,7 +776,7 @@ class Tracker:
                         self._traj_dev.pop()
                 self._pending.clear()
                 self._on_lost(feat)
-            elif self._need_new_kf(n):
+            elif self._need_new_kf(n, n_ct, n_cf):
                 self._create_kf(feat, bind, pose=frame_pose)
 
     def _on_lost(self, feat: FrameFeatures | None = None):
@@ -753,9 +799,10 @@ class Tracker:
                 self.last_feat = feat
                 self.last_bind = bind
 
-    def _need_new_kf(self, n_tracked: int) -> bool:
+    def _need_new_kf(self, n_tracked: int, n_close_tracked: int = 10 ** 9,
+                     n_close_free: int = 0) -> bool:
         """Reference: NeedNewKeyFrame c1a/c1b/c1c/c2 conditions
-        (src/Tracking.cc:3197-3229), simplified to the visual-only rules."""
+        (src/Tracking.cc:3159-3229)."""
         if self.pre_kf_decision is not None:
             self.pre_kf_decision()   # sync deferred ref_kf_tracked
         since = self.frame_id - self.last_kf_frame
@@ -763,8 +810,20 @@ class Tracker:
             return False
         if n_tracked < 15:
             return False
+        # depth sensors: the view is sliding onto unmapped territory when
+        # few CLOSE points are tracked but many close keypoints are unbound
+        # (reference bNeedToInsertClose, src/Tracking.cc:3159-3196) — this
+        # fires while tracking is still healthy, well before the inlier
+        # ratio collapses. The reference's absolute 100/70 assume ~1000-2000
+        # features; scale to this tracker's budget (at small budgets the
+        # absolute numbers fire every frame and churn the map).
+        th_ct = max(int(0.10 * self.caps.N), 20)
+        th_cf = max(int(0.07 * self.caps.N), 14)
+        need_close = (self.use_depth and n_close_tracked < th_ct and
+                      n_close_free > th_cf)
         c1 = since >= self.max_frames_between_kf
-        c2 = n_tracked < self.kf_tracked_ratio * max(self.ref_kf_tracked, 1)
+        c2 = (n_tracked < self.kf_tracked_ratio *
+              max(self.ref_kf_tracked, 1)) or need_close
         if not (c1 or c2):
             return False
         # dynamic-scene veto: skip KF creation when >80% of the image is

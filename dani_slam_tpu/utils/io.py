@@ -60,8 +60,14 @@ def associate_timestamps(t_a: np.ndarray, t_b: np.ndarray,
 
 
 def load_image(path: str) -> np.ndarray:
-    """Minimal PNG/PGM loader (no OpenCV in this environment; PIL if
-    present, else pure-numpy PGM/PPM)."""
+    """Image loader: native C++ decoder first (zlib-PNG/PNM with threaded
+    prefetch available via utils/native.ImagePrefetcher — the counterpart
+    of the reference's OpenCV imread path), then PIL, then pure-numpy
+    PGM/PPM."""
+    from dani_slam_tpu.utils import native as _native
+    img = _native.load_image_native(path)
+    if img is not None:
+        return img
     try:
         from PIL import Image
         return np.asarray(Image.open(path))

@@ -44,9 +44,11 @@ def main():
     if args.max_frames:
         frames = frames[:args.max_frames]
 
+    from dani_slam_tpu.utils.native import ImagePrefetcher
+    pf = ImagePrefetcher([p for _, p in frames])
     prev_t = None
     for i, (ts, path) in enumerate(frames):
-        img = io_utils.load_image(path)
+        img = pf.get(i)
         feat = frame_mod.build_frame_mono(sys_._sp(), img, cam, ts,
                                           n_max=sys_.n_features)
         win = None

@@ -28,8 +28,10 @@ def main():
     frames = io_utils.load_tum_rgb_list(args.sequence)
     if args.max_frames:
         frames = frames[:args.max_frames]
+    from dani_slam_tpu.utils.native import ImagePrefetcher
+    pf = ImagePrefetcher([f"{args.sequence}/{r}" for _, r in frames])
     for i, (ts, rel) in enumerate(frames):
-        img = io_utils.load_image(f"{args.sequence}/{rel}")
+        img = pf.get(i)
         state, R, t = sys_.track_monocular(img, ts)
         if i % 50 == 0:
             print(f"[{i}/{len(frames)}] {state} kf={sys_.n_keyframes()}")

@@ -53,9 +53,14 @@ def main():
         assoc = assoc[:args.max_frames]
     timer = timing.StageTimer()
 
+    # native threaded read-ahead: decode overlaps device compute
+    # (utils/native.ImagePrefetcher; falls back to sync load_image)
+    from dani_slam_tpu.utils.native import ImagePrefetcher
+    rgb_pf = ImagePrefetcher([f"{args.sequence}/{a[1]}" for a in assoc])
+    dep_pf = ImagePrefetcher([f"{args.sequence}/{a[3]}" for a in assoc])
     for i, (t_rgb, rgb_rel, _, depth_rel) in enumerate(assoc):
-        rgb = io_utils.load_image(f"{args.sequence}/{rgb_rel}")
-        depth = io_utils.load_image(f"{args.sequence}/{depth_rel}")
+        rgb = rgb_pf.get(i)
+        depth = dep_pf.get(i)
         with timer.stage("track"):
             state, R, t = sys_.track_rgbd(rgb, depth, t_rgb,
                                           settings.depth_map_factor)

@@ -52,10 +52,13 @@ def main():
     if args.max_frames:
         left = left[:args.max_frames]
 
+    from dani_slam_tpu.utils.native import ImagePrefetcher
+    left_pf = ImagePrefetcher([p for _, p in left])
+    right_pf = ImagePrefetcher([p for _, p in right])
     prev_t = None
     for i, (ts, lpath) in enumerate(left):
-        img_l = io_utils.load_image(lpath)
-        img_r = io_utils.load_image(right[i][1]) if i < len(right) else img_l
+        img_l = left_pf.get(i)
+        img_r = right_pf.get(i) if i < len(right) else img_l
         if rectifier is not None:
             img_l, img_r = rectifier(jnp.asarray(img_l), jnp.asarray(img_r))
         feat = frame_mod.build_frame_stereo(

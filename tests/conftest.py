@@ -23,3 +23,18 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", (
     "tests must run on CPU; axon backend leaked through")
 assert jax.device_count() == 8
+
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bounded_compile_cache():
+    """XLA:CPU segfaults (jax compiler backend_compile_and_load) on LARGE
+    compiles deep into the suite — observed twice at different sites
+    (sharded-training step, FullInertialBA) always after 60+ test files'
+    executables accumulated. Dropping compiled-program caches per module
+    keeps each module's compile workload bounded; the recompiles cost a few
+    extra minutes over the whole suite."""
+    jax.clear_caches()
+    yield
