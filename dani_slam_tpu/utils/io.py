@@ -101,6 +101,21 @@ def _load_pnm(f):
 # EuRoC
 # ---------------------------------------------------------------------------
 
+def load_kitti_stereo_list(seq_dir: str):
+    """KITTI odometry sequence dir (image_0/ image_1/ times.txt) ->
+    [(t, left_path, right_path)] (reference: LoadImages in
+    Examples/Stereo/stereo_kitti.cc)."""
+    times_path = os.path.join(seq_dir, "times.txt")
+    with open(times_path) as f:
+        times = [float(line.strip()) for line in f if line.strip()]
+    out = []
+    for i, t in enumerate(times):
+        name = f"{i:06d}.png"
+        out.append((t, os.path.join(seq_dir, "image_0", name),
+                    os.path.join(seq_dir, "image_1", name)))
+    return out
+
+
 def load_euroc_cam_list(seq_dir: str, cam: str = "cam0"):
     """mav0/cam0/data.csv: 'timestamp_ns,filename'."""
     out = []

@@ -89,3 +89,46 @@ class TestRgbdTumCLI:
         assert r2.returncode == 0, r2.stderr[-500:]
         line = [l for l in r2.stdout.splitlines() if "rmse" in l][0]
         assert float(line.split()[1]) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def kitti_dataset(tmp_path_factory):
+    """Tiny KITTI-odometry-format stereo sequence (image_0/ image_1/
+    times.txt) rendered from the shared synthetic scene."""
+    from test_image_pipeline import render_image
+    seq = tmp_path_factory.mktemp("kitti_mini")
+    os.makedirs(seq / "image_0")
+    os.makedirs(seq / "image_1")
+    rng = np.random.RandomState(4)
+    pts = rng.uniform(-4, 4, (400, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(4, 9, 400)
+    colors = rng.uniform(120, 215, 400).astype(np.float32)
+    baseline = 0.2
+    times = []
+    for i in range(5):
+        t = i / 10.0
+        t_l = jnp.asarray([-0.05 * i, 0.0, 0.0], jnp.float32)
+        img_l, _ = render_image(jnp.asarray(pts), colors, jnp.eye(3), t_l)
+        # right camera: shifted by +baseline along x (T_cw translation
+        # gains -R*C with C = C_left + [b,0,0])
+        t_r = t_l + jnp.asarray([-baseline, 0.0, 0.0], jnp.float32)
+        img_r, _ = render_image(jnp.asarray(pts), colors, jnp.eye(3), t_r)
+        write_pgm(str(seq / "image_0" / f"{i:06d}.png"), img_l, 255)
+        write_pgm(str(seq / "image_1" / f"{i:06d}.png"), img_r, 255)
+        times.append(f"{t:.6e}")
+    # (PGM bytes with .png names — the loaders sniff magic, not suffixes)
+    (seq / "times.txt").write_text("\n".join(times))
+    (seq / "settings.yaml").write_text(SETTINGS + "Camera.bf: 60.0\n")
+    return seq
+
+
+class TestStereoKittiCLI:
+    def test_full_run(self, kitti_dataset, tmp_path):
+        out = str(tmp_path) + "/"
+        r = run_cli([f"{REPO}/examples/stereo_kitti.py",
+                     str(kitti_dataset / "settings.yaml"),
+                     str(kitti_dataset), "--out-prefix", out])
+        assert r.returncode == 0, r.stderr[-800:]
+        traj = np.loadtxt(out + "CameraTrajectory.txt")
+        # KITTI format: 12 numbers per row (3x4 pose)
+        assert traj.shape[0] >= 4 and traj.shape[1] == 12
