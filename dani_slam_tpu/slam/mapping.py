@@ -225,7 +225,10 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
 @partial(jax.jit, static_argnames=("P_opt", "P_fix", "L_loc", "iters"))
 def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
                             P_opt: int = 8, P_fix: int = 8,
-                            L_loc: int = 2048, iters: int = 6):
+                            L_loc: int = 2048, iters: int = 5):
+    # iters=5 matches the reference's first LBA phase (5 iterations, then
+    # 10 more only when not interrupted, src/Optimizer.cc:1350-1365); the
+    # window re-solves at every keyframe, so truncation self-corrects
     """Optimize the covisibility window around center_kf.
 
     Window: center + its (P_opt-1) best covisible KFs are optimized; the
