@@ -61,32 +61,62 @@ def match_kf_landmarks(st: mstate.MapState, kf_a: jax.Array,
     return pa, pb, m.ok, st.kf_kp[kf_a], st.kf_kp[kf_b][m.idx], la, pb_ids
 
 
-@partial(jax.jit, static_argnames=("fix_scale",))
+def _window_landmarks(st: mstate.MapState, kf: jax.Array, cam,
+                      n_window: int):
+    """Gather the landmarks observed by `kf` and its top covisible
+    neighbors — the weld-window local map (reference: the merge/loop
+    verification widens KF-to-KF matches with SearchByProjection over the
+    candidate's covisible window, src/LoopClosing.cc:579-768). Returns
+    (lm_ids [W*N], camera-frame points in kf's frame, pixel projections,
+    valid mask) with duplicates across window keyframes masked out."""
+    cov = jnp.where(st.kf_mask, st.covis[kf], -1)
+    cov = cov.at[kf].set(jnp.iinfo(jnp.int32).max)   # anchor first
+    order = jnp.argsort(-cov)[:n_window]
+    ok_kf = cov[order] > 0
+    obs = st.obs_lm[order]                            # [W,N]
+    has = (obs >= 0) & st.kf_kp_mask[order] & ok_kf[:, None]
+    lm = jnp.where(has, obs, -1).reshape(-1)
+    has = has.reshape(-1) & st.lm_mask[jnp.maximum(lm, 0)]
+    # first-occurrence mask: a landmark seen by several window KFs keeps
+    # one row (duplicates would soak up mutual-NN slots)
+    M = lm.shape[0]
+    same = (lm[:, None] == lm[None, :]) & has[None, :]
+    first = jnp.argmax(same, axis=1)
+    has = has & (first == jnp.arange(M))
+    lid = jnp.where(has, lm, 0)
+    p_c = lie.se3_apply(st.kf_R[kf], st.kf_t[kf], st.lm_pos[lid])
+    px = _cam.project(cam, p_c)
+    in_img = ((p_c[:, 2] > 0.2) & (px[:, 0] >= 0) & (px[:, 1] >= 0)
+              & (px[:, 0] < cam.width) & (px[:, 1] < cam.height))
+    return lid, p_c, px, has & in_img
+
+
+@partial(jax.jit, static_argnames=("fix_scale", "n_window"))
 def verify_cross_map_candidate(st_a: mstate.MapState, st_b: mstate.MapState,
                                cam, kf_a: jax.Array, kf_b: jax.Array, key,
                                fix_scale: bool = False,
-                               min_inliers: int = 25):
+                               min_inliers: int = 25, n_window: int = 4):
     """Geometric verification between keyframes of two DIFFERENT maps
     (reference: the merge branch runs the same Sim3 machinery across maps,
-    src/LoopClosing.cc:133-190). Returns (T_ab sim3 from b-camera coords to
-    a-camera coords, n_inliers, ok)."""
-    obs_a = st_a.obs_lm[kf_a]
-    obs_b = st_b.obs_lm[kf_b]
-    has_a = (obs_a >= 0) & st_a.kf_kp_mask[kf_a]
-    has_b = (obs_b >= 0) & st_b.kf_kp_mask[kf_b]
-    la = jnp.where(has_a, obs_a, 0)
-    lb = jnp.where(has_b, obs_b, 0)
+    src/LoopClosing.cc:133-190; matches are widened over the covisible
+    weld windows of both anchors as in DetectCommonRegionsFromBoW:579-768).
+    Returns (T_ab sim3 from b-camera coords to a-camera coords, n_inliers,
+    ok)."""
+    la, pa, pxa, has_a = _window_landmarks(st_a, kf_a, cam, n_window)
+    lb, pb_all, pxb, has_b = _window_landmarks(st_b, kf_b, cam, n_window)
     d = matching.desc_distance_matrix(st_a.lm_desc[la], st_b.lm_desc[lb])
     m = matching.masked_match(d, has_a[:, None] & has_b[None, :], th=0.7,
                               mutual=True)
-    pa = lie.se3_apply(st_a.kf_R[kf_a], st_a.kf_t[kf_a], st_a.lm_pos[la])
-    pb = lie.se3_apply(st_b.kf_R[kf_b], st_b.kf_t[kf_b],
-                       st_b.lm_pos[lb[m.idx]])
+    pb = pb_all[m.idx]
     res = sim3_ops.sim3_ransac(key, cam, cam, pa, pb, m.ok,
                                fix_scale=fix_scale, min_inliers=min_inliers)
+    # refinement measurements: each side's own projection of the matched
+    # landmark — a reprojection-weighted 3D-3D alignment (the reference
+    # uses the keypoint observations; window landmarks unseen by the
+    # anchor KF carry their predicted pixel instead)
     R, t, s, inl, n = sim3_ops.optimize_sim3(
-        cam, cam, res.R, res.t, res.s, pa, st_a.kf_kp[kf_a], pb,
-        st_b.kf_kp[kf_b][m.idx], m.ok & res.inliers, fix_scale=fix_scale)
+        cam, cam, res.R, res.t, res.s, pa, pxa, pb,
+        pxb[m.idx], m.ok & res.inliers, fix_scale=fix_scale)
     return (R, t, s), n, res.ok & (n >= min_inliers)
 
 

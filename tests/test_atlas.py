@@ -116,6 +116,10 @@ class TestAtlasE2E:
         t_b = jnp.stack([t_a[i] - R_a[i] @ jnp.asarray([500.0, 0.0, 0.0])
                          for i in range(30)])
 
+        # stable per-phase render seeds: hash(str) is salted per process
+        # (PYTHONHASHSEED), which made this test nondeterministic and let a
+        # regression ship in round 2 — seeds must be literals
+        seeds = {"A": 111, "B": 555, "A2": 111}
         sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=256,
                      enable_relocalization=False)
         sys.lost_frames_before_new_map = 3
@@ -127,14 +131,17 @@ class TestAtlasE2E:
         for fi, (tag, world, Rs, ts, i) in enumerate(phases):
             feat, _ = synthetic.render_frame(
                 world, CAM, Rs[i], ts[i], n_max=256, noise_px=0.3,
-                seed=hash(tag) % 1000 + i, with_depth=True, time=fi / 30.0)
+                seed=seeds[tag] + i, with_depth=True, time=fi / 30.0)
             sys.track_features(feat)
             max_maps = max(max_maps, sys.atlas.n_maps())
-        # maps were created for the disjoint areas...
-        assert max_maps >= 1, "no new map was ever created"
-        # ...and the revisit merged the third map into the stored first one
-        assert sys.atlas.n_maps() < max_maps + 1, "no merge happened"
+        # maps were created for the disjoint areas (A stashed at B entry,
+        # B stashed at A2 entry)...
+        assert max_maps >= 2, "no new map was ever created"
+        # ...and the revisit merged the third map into the stored first one,
+        # CONSUMING a stored map (n_maps must DROP below its peak)
+        assert sys.atlas.n_maps() < max_maps, "no merge happened"
         assert sys.tracker.state == "OK"
+        # the merged active map carries the stored A keyframes + A2's own
         assert sys.n_keyframes() >= 4
 
         # BoW preservation across the merge (round-1 review: the stored
@@ -142,7 +149,7 @@ class TestAtlasE2E:
         # first-map view must still succeed after the weld
         feat, _ = synthetic.render_frame(
             world_a, CAM, R_a[2], t_a[2], n_max=256, noise_px=0.3,
-            seed=hash("A") % 1000 + 2, with_depth=True, time=99.0)
+            seed=seeds["A"] + 2, with_depth=True, time=99.0)
         out = sys._relocalize(sys.tracker, feat)
         assert out is not None, "reloc against pre-merge keyframes failed"
         R_rel, t_rel, bind = out
