@@ -205,8 +205,9 @@ def match_pairs(model: LightGlue, params, xy0, desc0, mask0, xy1, desc1,
     idx = jnp.argmax(s, axis=-1)
     best = jnp.max(s, axis=-1)
     rev = jnp.argmax(s, axis=-2)
-    N = s.shape[-1]
-    mutual = jnp.take_along_axis(rev, idx, axis=-1) == jnp.arange(N)
+    # mutual check compares ROW indices (rev values live in [0, N0)), so the
+    # arange must span the query axis N0 = s.shape[-2], not the target count
+    mutual = jnp.take_along_axis(rev, idx, axis=-1) == jnp.arange(s.shape[-2])
     ok = (mutual & (best >= threshold) & mask0 &
           jnp.take_along_axis(mask1, idx, axis=-1))
     return idx.astype(jnp.int32), best, ok

@@ -35,7 +35,18 @@ class Sensor(enum.Enum):
 class System:
     """Facade. For image input, SuperPoint weights are taken from
     `sp_params` (random-init if None — fine for synthetic-feature tests; real
-    runs should load converted public weights)."""
+    runs should load converted public weights).
+
+    .. warning:: Constructing a System sets the PROCESS-GLOBAL JAX config
+       ``jax_default_matmul_precision = "highest"`` and never restores it:
+       the f32 SLAM geometry is numerically unsafe under TPU's default
+       bf16-pass matmuls (tracking collapses mid-sequence), and the setting
+       must cover every jitted program the System dispatches, including ones
+       traced lazily long after __init__. Side effect on co-hosted JAX code:
+       full-f32 matmul throughput everywhere. Explicitly-cast bf16 matmuls
+       (the learned modules here) are unaffected; unrelated code that wants
+       fast passes back can scope them with
+       ``jax.default_matmul_precision('default')``."""
 
     def __init__(self, cam: _cam.Camera, sensor: Sensor = Sensor.MONOCULAR,
                  caps: Optional[mstate.MapCaps] = None, sp_params=None,

@@ -164,7 +164,7 @@ def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
     # (the fused frame program runs both — halving the first solve's rounds
     # trims the latency-bound LM chain)
     res = _optimize_with_bindings(st, cam, feat, bind, R_pred, t_pred,
-                                  use_depth, rounds=4)
+                                  use_depth, rounds=2)
     return res
 
 

@@ -224,7 +224,7 @@ Image decode_file(const char* path) {
 struct Prefetcher {
   std::vector<std::string> paths;
   std::vector<Image> slots;
-  std::vector<std::atomic<int>> state;  // 0 empty, 1 decoding, 2 ready
+  std::vector<std::atomic<int>> state;  // 0 empty, 1 decoding, 2 ready, 3 released
   std::atomic<size_t> next_fetch{0};
   std::atomic<bool> stop{false};
   size_t window;
@@ -256,7 +256,13 @@ struct Prefetcher {
       if (!next_fetch.compare_exchange_strong(i, i + 1)) continue;
       state[i].store(1);
       slots[i] = decode_file(paths[i].c_str());
-      state[i].store(2);
+      // publish under the mutex: a store+notify landing between the
+      // consumer's predicate check and its sleep would otherwise be a lost
+      // wakeup (get() waits without timeout)
+      {
+        std::lock_guard<std::mutex> lk(m);
+        state[i].store(2);
+      }
       cv.notify_all();
     }
   }
@@ -264,8 +270,12 @@ struct Prefetcher {
     if (i >= paths.size()) return nullptr;
     {
       std::unique_lock<std::mutex> lk(m);
-      cv.wait(lk, [&] { return state[i].load() == 2 || stop.load(); });
+      cv.wait(lk, [&] {
+        int s = state[i].load();
+        return s == 2 || s == 3 || stop.load();
+      });
     }
+    if (state[i].load() != 2) return nullptr;  // released or shutting down
     consumed.store(i + 1);
     cv.notify_all();
     return &slots[i];
@@ -274,6 +284,10 @@ struct Prefetcher {
     if (i < slots.size()) {
       slots[i].data.clear();
       slots[i].data.shrink_to_fit();
+      // re-access of a released slot must error (dsl_prefetcher_get returns
+      // rc=-1 and the Python side falls back to the sync loader) instead of
+      // wrapping an untouched output buffer as an image
+      state[i].store(3);
     }
   }
 };
