@@ -96,11 +96,12 @@ ANCHORS = (
 STRIDES = (8, 16, 32)
 
 
-def decode_predictions(outs: Sequence[jax.Array], top_k: int = 256):
+def decode_predictions(outs: Sequence[jax.Array], top_k: int = 256,
+                       anchors_per_scale=ANCHORS, strides=STRIDES):
     """Raw head outputs -> flat (boxes xyxy [M,4], score [M], cls [M]),
     top_k by objectness*class score (fixed M; YOLOv5 decode semantics)."""
     all_boxes, all_scores, all_cls = [], [], []
-    for out, anchors, stride in zip(outs, ANCHORS, STRIDES):
+    for out, anchors, stride in zip(outs, anchors_per_scale, strides):
         H, W = out.shape[0], out.shape[1]
         p = jax.nn.sigmoid(out)
         gy = jax.lax.broadcasted_iota(jnp.float32, (H, W, 3), 0)
@@ -222,9 +223,10 @@ def dynamic_area_ratio(boxes, ok, width: int, height: int, grid: int = 64):
     return jnp.mean(covered.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("model", "ih", "iw", "score_th"))
+@partial(jax.jit, static_argnames=("model", "ih", "iw", "score_th",
+                                   "anchors"))
 def _detect_program(model, params, img, ih: int, iw: int,
-                    score_th: float = 0.4):
+                    score_th: float = 0.4, anchors=ANCHORS):
     """Fused detection: resize -> forward -> decode -> NMS -> rescale.
     ONE XLA program (reference: YoloDetection::Detect src/YoloDetect.cpp:
     27-82 resizes to the net input, forwards, NMS, rescales)."""
@@ -232,20 +234,21 @@ def _detect_program(model, params, img, ih: int, iw: int,
     x = jax.image.resize(img.astype(jnp.float32) / 255.0, (ih, iw, 3),
                          "bilinear")
     outs = model.apply(params, x)
-    boxes, scores, cls = decode_predictions(outs)
+    boxes, scores, cls = decode_predictions(outs, anchors_per_scale=anchors)
     b, s, c, ok = nms(boxes, scores, cls, score_th=score_th)
     scale = jnp.asarray([W / iw, H / ih, W / iw, H / ih])
     return b * scale, s, c, ok
 
 
-@partial(jax.jit, static_argnames=("model", "ih", "iw", "score_th"))
+@partial(jax.jit, static_argnames=("model", "ih", "iw", "score_th",
+                                   "anchors"))
 def _mask_program(model, params, img, dyn_ids, ih: int, iw: int,
-                  score_th: float = 0.4):
+                  score_th: float = 0.4, anchors=ANCHORS):
     """Fused dynamic-masking pipeline: detect -> split dynamic/static ->
     RefineDynamicBoxes -> union area ratio. ONE XLA program so the RGB-D
     front-end costs a single extra dispatch per frame."""
     b, s, c, ok = _detect_program(model, params, img, ih, iw,
-                                  score_th=score_th)
+                                  score_th=score_th, anchors=anchors)
     dyn_cls = jnp.isin(c, dyn_ids)
     dyn_ok = ok & dyn_cls
     stat_ok = ok & ~dyn_cls
@@ -262,10 +265,15 @@ class Detector:
     def __init__(self, params=None, num_classes: int = 80, width: int = 32,
                  input_hw=(384, 640), seed: int = 0,
                  dynamic_class_ids=DYNAMIC_CLASS_IDS,
-                 score_th: float = 0.4):
-        self.model = YoloNet(num_classes=num_classes, width=width)
+                 score_th: float = 0.4, model=None, anchors=ANCHORS):
+        """`model` overrides the compact YoloNet with any module sharing the
+        head-output contract (e.g. yolo_official.YoloV5Net for converted
+        public yolov5s checkpoints); `anchors` must then match it."""
+        self.model = model if model is not None else YoloNet(
+            num_classes=num_classes, width=width)
         self.input_hw = input_hw
         self.score_th = score_th
+        self.anchors = tuple(tuple(tuple(a) for a in s) for s in anchors)
         if params is None:
             params = self.model.init(
                 jax.random.PRNGKey(seed),
@@ -278,14 +286,14 @@ class Detector:
         scores, classes, valid) after NMS."""
         return _detect_program(self.model, self.params, img,
                                self.input_hw[0], self.input_hw[1],
-                               score_th=self.score_th)
+                               score_th=self.score_th, anchors=self.anchors)
 
     def dynamic_mask_inputs(self, img: jax.Array):
         """Full dynamic-masking pipeline: detect -> split dynamic/static ->
         refine -> (boxes, box_mask, dynamic_ratio)."""
         return _mask_program(self.model, self.params, img, self.dyn_ids,
                              self.input_hw[0], self.input_hw[1],
-                             score_th=self.score_th)
+                             score_th=self.score_th, anchors=self.anchors)
 
 
 def load_default_detector() -> Detector | None:
