@@ -298,6 +298,159 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
             jnp.sum(inl.astype(jnp.int32)))
 
 
+@partial(jax.jit, static_argnames=("iters", "use_depth"))
+def pose_inertial_optimize_marginalized(
+        R0, t0, v0, bg0, ba0,
+        R_p, t_p, v_p, bg_p, ba_p, prior_info,
+        preint, calib, cam, pts_w, obs_xy, mask,
+        obs_depth=None, use_depth: bool = False, iters: int = 10):
+    """Two-frame visual-inertial solve with a TRUE marginalized prior
+    (reference: Optimizer::PoseInertialOptimizationLastFrame
+    src/Optimizer.cc:4875 consuming EdgePriorPoseImu include/G2oTypes.h:732,
+    produced by Optimizer::Marginalize src/Optimizer.cc:2960).
+
+    The 30-DoF state is [previous frame (15), current frame (15)], each
+    15 = [se3 pose (left-increment on T_cw), velocity, gyro bias, acc bias].
+    Edges: robust reprojection (+ optional depth) on the CURRENT pose; the
+    9-D preintegration residual between the two BODY states weighted by the
+    FULL inverse preintegration covariance (not diagonal); bias random walk
+    between the two frames; and the 15-D prior on the PREVIOUS state
+    (mean = (R_p..ba_p), information = prior_info) carried from the last
+    frame's marginalization.
+
+    After convergence the previous-frame block is Schur-marginalized out of
+    the 30x30 Gauss-Newton Hessian:  H_prior' = H_cc - H_cp H_pp^-1 H_pc —
+    the information the whole past (through this prior chain) carries about
+    the current state. PSD is enforced by symmetric eigenvalue clamping, as
+    the reference does after Marginalize.
+
+    Returns (R, t, v, bg, ba, inliers, n_inliers, prior_info_next[15,15]).
+    """
+    from dani_slam_tpu.ops import imu as imu_ops
+
+    delta = jnp.sqrt(CHI2_STEREO if use_depth else CHI2_MONO)
+    chi2_th = CHI2_STEREO if use_depth else CHI2_MONO
+
+    # full 9x9 preintegration information (reference EdgeInertial uses
+    # cov.inverse(); the diagonal-only variant loses rotation/velocity
+    # cross-terms on fast-rotation segments)
+    cov9 = preint.cov[:9, :9]
+    cov9 = 0.5 * (cov9 + cov9.T) + 1e-10 * jnp.eye(9)
+    info9 = jnp.linalg.inv(cov9)
+    info9 = 0.5 * (info9 + info9.T)
+    dtp = jnp.maximum(preint.dt, 1e-3)
+    rw_info = jnp.concatenate([
+        jnp.full((3,), 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dtp, 1e-12)),
+        jnp.full((3,), 1.0 / jnp.maximum(calib.walk_acc ** 2 * dtp, 1e-12))])
+
+    def unpack(x, R_b, t_b, v_b, bg_b, ba_b):
+        """Apply a 15-D perturbation to a base state (left se3 on pose)."""
+        dR, dt_ = lie.se3_exp(x[:6])
+        return (dR @ R_b, dR @ t_b + dt_, v_b + x[6:9], bg_b + x[9:12],
+                ba_b + x[12:15])
+
+    def imu_res30(x, Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac):
+        """Preintegration (9) + bias random walk (6) residuals of the
+        30-D perturbation around the given linearization states. The
+        preintegration edge is corrected at the PREVIOUS frame's biases
+        (reference: EdgeInertial connects VG1/VA1, src/G2oTypes.cc)."""
+        Rp2, tp2, vp2, bgp2, bap2 = unpack(x[:15], Rp, tp, vp, bgp, bap)
+        Rc2, tc2, vc2, bgc2, bac2 = unpack(x[15:], Rc, tc, vc, bgc, bac)
+        Rwp, pwp = imu_ops.body_from_camera(calib.R_bc, calib.t_bc, Rp2, tp2)
+        Rwc, pwc = imu_ops.body_from_camera(calib.R_bc, calib.t_bc, Rc2, tc2)
+        r9 = imu_ops.inertial_residual(preint, Rwp, pwp, vp2, Rwc, pwc,
+                                       vc2, bgp2, bap2)
+        return jnp.concatenate([r9, bgc2 - bgp2, bac2 - bap2])
+
+    def prior_res(x15, Rp, tp, vp, bgp, bap):
+        """Previous state minus the prior mean, in perturbation coords."""
+        Rp2, tp2, vp2, bgp2, bap2 = unpack(x15, Rp, tp, vp, bgp, bap)
+        xi = lie.se3_log(*lie.se3_mul(Rp2, tp2, *lie.se3_inv(R_p, t_p)))
+        return jnp.concatenate([xi, vp2 - v_p, bgp2 - bg_p, bap2 - ba_p])
+
+    def vis_parts(R, t):
+        r, J = _residuals_jac(R, t, cam, pts_w, obs_xy)
+        c = jnp.sum(r * r, axis=-1)
+        if use_depth:
+            rd, Jd = _depth_residual(R, t, pts_w, obs_depth)
+            c = c + rd[:, 0] ** 2
+            return r, J, rd, Jd, c
+        return r, J, None, None, c
+
+    def build_system(Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac, inl):
+        """30x30 GN system at the given linearization point."""
+        r, J, rd, Jd, c = vis_parts(Rc, tc)
+        w_rob = jnp.where(jnp.sqrt(jnp.maximum(c, 1e-12)) <= delta, 1.0,
+                          delta / jnp.sqrt(jnp.maximum(c, 1e-12)))
+        w = jnp.where(inl & mask, w_rob, 0.0)
+        H = jnp.zeros((30, 30))
+        g = jnp.zeros(30)
+        H = H.at[15:21, 15:21].add(jnp.einsum('nik,n,nil->kl', J, w, J))
+        g = g.at[15:21].add(jnp.einsum('nik,n,ni->k', J, w, r))
+        if use_depth:
+            H = H.at[15:21, 15:21].add(jnp.einsum('nik,n,nil->kl', Jd, w,
+                                                  Jd))
+            g = g.at[15:21].add(jnp.einsum('nik,n,ni->k', Jd, w, rd))
+        lin = (Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac)
+        r15 = imu_res30(jnp.zeros(30), *lin)
+        J30 = jax.jacfwd(lambda x: imu_res30(x, *lin))(jnp.zeros(30))
+        H = H + J30[:9].T @ info9 @ J30[:9] \
+              + jnp.einsum('ki,k,kj->ij', J30[9:], rw_info, J30[9:])
+        g = g + J30[:9].T @ info9 @ r15[:9] \
+              + jnp.einsum('ki,k,k->i', J30[9:], rw_info, r15[9:])
+        rp = prior_res(jnp.zeros(15), Rp, tp, vp, bgp, bap)
+        Jp = jax.jacfwd(lambda x: prior_res(x, Rp, tp, vp, bgp, bap))(
+            jnp.zeros(15))
+        H = H.at[:15, :15].add(Jp.T @ prior_info @ Jp)
+        g = g.at[:15].add(Jp.T @ prior_info @ rp)
+        return H, g
+
+    def total_cost(states, inl):
+        Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac = states
+        *_, c = vis_parts(Rc, tc)
+        sq = jnp.sqrt(jnp.maximum(c, 1e-12))
+        rho = jnp.where(sq <= delta, c, 2 * delta * sq - delta ** 2)
+        lin = (Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac)
+        r15 = imu_res30(jnp.zeros(30), *lin)
+        rp = prior_res(jnp.zeros(15), Rp, tp, vp, bgp, bap)
+        return (jnp.sum(jnp.where(inl & mask, rho, 0.0)) +
+                r15[:9] @ info9 @ r15[:9] +
+                jnp.sum(r15[9:] ** 2 * rw_info) +
+                rp @ prior_info @ rp)
+
+    def gn(_, carry):
+        states, inl, lam = carry
+        H, g = build_system(*states, inl)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(30)
+        dx = -jnp.linalg.solve(Hd, g)
+        cand = (*unpack(dx[:15], *states[:5]),
+                *unpack(dx[15:], *states[5:]))
+        better = total_cost(cand, inl) < total_cost(states, inl)
+        pick = lambda a, b: jnp.where(better, a, b)
+        states = tuple(pick(a, b) for a, b in zip(cand, states))
+        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+        *_, c2 = vis_parts(states[5], states[6])
+        inl = mask & (c2 <= chi2_th)
+        return states, inl, lam
+
+    states0 = (R_p, t_p, v_p, bg_p, ba_p, R0, t0, v0, bg0, ba0)
+    states, inl, _ = jax.lax.fori_loop(
+        0, iters, gn, (states0, mask, jnp.asarray(1e-3)))
+
+    # --- Schur marginalization of the previous-frame block ----------------
+    H, _ = build_system(*states, inl)
+    Hpp = H[:15, :15] + 1e-9 * jnp.eye(15)
+    Hcp = H[15:, :15]
+    H_next = H[15:, 15:] - Hcp @ jnp.linalg.solve(Hpp, Hcp.T)
+    H_next = 0.5 * (H_next + H_next.T)
+    evals, evecs = jnp.linalg.eigh(H_next)
+    H_next = (evecs * jnp.maximum(evals, 0.0)) @ evecs.T
+
+    Rc, tc, vc, bgc, bac = states[5:]
+    return (lie.orthonormalize(Rc), tc, vc, bgc, bac, inl,
+            jnp.sum(inl.astype(jnp.int32)), H_next)
+
+
 # ---------------------------------------------------------------------------
 # Horn alignment (closed-form absolute orientation) — used by Sim3Solver
 # RANSAC (src/Sim3Solver.cc:316-380) and by ATE evaluation.

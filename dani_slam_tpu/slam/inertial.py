@@ -86,6 +86,11 @@ class InertialState:
         self.bias_g = jnp.zeros(3)
         self.bias_a = jnp.zeros(3)
         self.last_preint: Optional[imu_ops.Preintegrated] = None
+        # 15x15 marginalized prior information on the last tracked frame's
+        # [pose, v, bg, ba] (tracking.vi_refine_step_marg chain; reference:
+        # mpLastFrame's prior from Optimizer::Marginalize). None until the
+        # first post-init frame bootstraps it.
+        self.prior_info = None
         # raw samples per frame since the last keyframe (for KF-to-KF
         # preintegration at init time)
         self.frame_windows = []     # [(frame_id, ImuWindow)]
