@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from dani_slam_tpu.core import scatterless as sless
+
 
 class MapCaps(NamedTuple):
     """Static capacities (hashable; part of jit cache key)."""
@@ -77,6 +79,13 @@ class MapState:
     lm_found: jax.Array       # [L] found count   (MapPoint::IncreaseFound)
     lm_visible: jax.Array     # [L] visible count (IncreaseVisible)
     lm_first_kf: jax.Array    # [L] int32 kf id at creation (for culling)
+    # observer bitmask: bit k of lm_obs_bits[l, k//32] set when keyframe
+    # slot k observes landmark l. A conservative SUPERSET of the obs table
+    # (stale bits can linger after outlier-edge drops); used only for
+    # local-map candidate selection, where a superset costs nothing
+    # (searches are fixed-shape and masked) but the O(L*K/32) elementwise
+    # test replaces a 262k-row scatter (see local_map_landmark_mask).
+    lm_obs_bits: jax.Array    # [L, ceil(K/32)] int32
     # -- graph ------------------------------------------------------------
     covis: jax.Array          # [K,K] int32 shared-observation counts
     spanning_parent: jax.Array  # [K] int32 parent kf (-1 root)
@@ -121,6 +130,7 @@ def empty_map(caps: MapCaps = MapCaps(), dtype=jnp.float32) -> MapState:
         lm_found=jnp.zeros((L,), jnp.int32),
         lm_visible=jnp.zeros((L,), jnp.int32),
         lm_first_kf=jnp.full((L,), -1, jnp.int32),
+        lm_obs_bits=jnp.zeros((L, (K + 31) // 32), jnp.int32),
         covis=jnp.zeros((K, K), jnp.int32),
         spanning_parent=jnp.full((K,), -1, jnp.int32),
         loop_edges=jnp.zeros((K, K), bool),
@@ -168,6 +178,18 @@ def num_landmarks(st: MapState) -> jax.Array:
 # Keyframe insertion
 # ---------------------------------------------------------------------------
 
+def _kf_bit_words(k: jax.Array, n_words: int) -> jax.Array:
+    """[n_words] int32: word vector with bit k set (k may be traced)."""
+    return jnp.where(jnp.arange(n_words) == k // 32,
+                     jnp.left_shift(jnp.asarray(1, jnp.int32), k % 32), 0)
+
+
+def _set_obs_bits(bits: jax.Array, k: jax.Array, lm_mask_rows: jax.Array):
+    """Set bit k on the rows selected by lm_mask_rows [L]."""
+    words = _kf_bit_words(k, bits.shape[1])
+    return jnp.where(lm_mask_rows[:, None], bits | words[None, :], bits)
+
+
 def insert_keyframe(st: MapState, R, t, time, frame_id, kp, kp_mask, desc,
                     depth, octave, obs_lm, vel=None, bias_g=None,
                     bias_a=None):
@@ -181,13 +203,16 @@ def insert_keyframe(st: MapState, R, t, time, frame_id, kp, kp_mask, desc,
     k = first_free_slot(st.kf_mask)
     caps = st.caps
 
-    # landmark observation counts += 1 for each valid obs
+    # landmark observation counts += 1 for each valid obs (scatter-free)
     valid = obs_lm >= 0
     lm_idx = jnp.where(valid, obs_lm, 0)
-    dn = jnp.zeros((caps.L,), jnp.int32).at[lm_idx].add(valid.astype(jnp.int32))
+    dn = sless.id_count(lm_idx, valid, caps.L)
     # covisibility: count landmarks shared with every other keyframe.
     # seen[l] = 1 if this frame observes landmark l
-    seen = jnp.zeros((caps.L,), bool).at[lm_idx].max(valid)
+    seen = sless.id_mask(lm_idx, valid, caps.L)
+    # observer bits: clear the (possibly reused) column k, set for this obs
+    bits = st.lm_obs_bits & ~_kf_bit_words(k, st.lm_obs_bits.shape[1])[None]
+    bits = _set_obs_bits(bits, k, seen)
     # other_sees[K, L] via obs table: for each kf, does it observe l?
     kf_lm = jnp.where(st.obs_lm >= 0, st.obs_lm, 0)           # [K,N]
     kf_valid = st.obs_lm >= 0
@@ -220,6 +245,7 @@ def insert_keyframe(st: MapState, R, t, time, frame_id, kp, kp_mask, desc,
         kf_bias_a=st.kf_bias_a.at[k].set(
             bias_a if bias_a is not None else jnp.zeros(3)),
         lm_n_obs=st.lm_n_obs + dn,
+        lm_obs_bits=bits,
         covis=new_covis,
         spanning_parent=st.spanning_parent.at[k].set(parent),
         next_kf_counter=st.next_kf_counter + 1,
@@ -236,50 +262,60 @@ def insert_landmarks(st: MapState, pos, desc, normal, dist_min, dist_max,
     """Insert up to B new landmarks (B static). Returns (state, slots).
 
     valid: [B] bool — which candidate rows are real (others are padding).
+
+    Scatter-free: candidate r lands in the r-th free slot (same placement
+    as free_slots), expressed as a cumsum-rank + gather per field — 11
+    scatters at ~1 ms each would otherwise dominate the keyframe program.
     """
     B = pos.shape[0]
-    slots = free_slots(st.lm_mask, B)
-    # If a slot is already occupied (map full), drop the candidate.
-    can = valid & ~st.lm_mask[slots]
+    L = st.caps.L
+    free = ~st.lm_mask
+    recv, src, placed = sless.scatter_rows_dense(free, valid, B)
+
+    def put(old, cand, fill=None):
+        r = recv.reshape((L,) + (1,) * (old.ndim - 1))
+        return jnp.where(r, jnp.take(cand, src, axis=0), old)
+
+    const = lambda v, dt: jnp.full((B,), v, dt)
     st2 = dataclasses.replace(
         st,
-        lm_mask=st.lm_mask.at[slots].set(can | st.lm_mask[slots]),
-        lm_pos=st.lm_pos.at[slots].set(
-            jnp.where(can[:, None], pos, st.lm_pos[slots])),
-        lm_desc=st.lm_desc.at[slots].set(
-            jnp.where(can[:, None], desc, st.lm_desc[slots])),
-        lm_normal=st.lm_normal.at[slots].set(
-            jnp.where(can[:, None], normal, st.lm_normal[slots])),
-        lm_dist_min=st.lm_dist_min.at[slots].set(
-            jnp.where(can, dist_min, st.lm_dist_min[slots])),
-        lm_dist_max=st.lm_dist_max.at[slots].set(
-            jnp.where(can, dist_max, st.lm_dist_max[slots])),
-        lm_ref_kf=st.lm_ref_kf.at[slots].set(
-            jnp.where(can, ref_kf, st.lm_ref_kf[slots])),
-        lm_first_kf=st.lm_first_kf.at[slots].set(
-            jnp.where(can, first_kf, st.lm_first_kf[slots])),
-        lm_n_obs=st.lm_n_obs.at[slots].set(
-            jnp.where(can, 0, st.lm_n_obs[slots])),
-        lm_found=st.lm_found.at[slots].set(
-            jnp.where(can, 1, st.lm_found[slots])),
-        lm_visible=st.lm_visible.at[slots].set(
-            jnp.where(can, 1, st.lm_visible[slots])),
+        lm_mask=st.lm_mask | recv,
+        lm_pos=put(st.lm_pos, pos),
+        lm_desc=put(st.lm_desc, desc),
+        lm_normal=put(st.lm_normal, normal),
+        lm_dist_min=put(st.lm_dist_min, dist_min),
+        lm_dist_max=put(st.lm_dist_max, dist_max),
+        lm_ref_kf=put(st.lm_ref_kf, ref_kf),
+        lm_first_kf=put(st.lm_first_kf, first_kf),
+        lm_n_obs=put(st.lm_n_obs, const(0, jnp.int32)),
+        lm_found=put(st.lm_found, const(1, jnp.int32)),
+        lm_visible=put(st.lm_visible, const(1, jnp.int32)),
+        # fresh landmark in a reused slot: no observers yet
+        lm_obs_bits=jnp.where(recv[:, None], 0, st.lm_obs_bits),
     )
-    return st2, jnp.where(can, slots, -1)
+    # slot id per candidate: inverse of the rank->slot placement
+    rank = jnp.cumsum(free.astype(jnp.int32)) - free.astype(jnp.int32)
+    slots = sless.id_lookup(
+        jnp.where(free, rank, B), free, jnp.arange(L, dtype=jnp.int32),
+        B, jnp.full((B,), L - 1, jnp.int32))
+    return st2, jnp.where(placed, slots, -1)
 
 
 def add_observations(st: MapState, kf: jax.Array, kp_idx: jax.Array,
                      lm_idx: jax.Array, valid: jax.Array) -> MapState:
-    """Bind keypoints kp_idx of keyframe kf to landmarks lm_idx."""
-    kp_safe = jnp.where(valid, kp_idx, 0)
+    """Bind keypoints kp_idx of keyframe kf to landmarks lm_idx.
+    (kp_idx must be duplicate-free among valid rows — matching guarantees
+    one query per target keypoint.)"""
+    N = st.obs_lm.shape[1]
     lm_safe = jnp.where(valid, lm_idx, 0)
-    new_row = st.obs_lm[kf]
-    new_row = new_row.at[kp_safe].set(
-        jnp.where(valid, lm_safe, new_row[kp_safe]))
-    dn = jnp.zeros((st.caps.L,), jnp.int32).at[lm_safe].add(
-        valid.astype(jnp.int32))
+    row = st.obs_lm[kf]
+    new_row = sless.id_lookup(kp_idx, valid, lm_safe, N, row)
+    dn = sless.id_count(lm_safe, valid, st.caps.L)
+    bits = _set_obs_bits(st.lm_obs_bits, kf,
+                         sless.id_mask(lm_safe, valid, st.caps.L))
     return dataclasses.replace(
-        st, obs_lm=st.obs_lm.at[kf].set(new_row), lm_n_obs=st.lm_n_obs + dn)
+        st, obs_lm=st.obs_lm.at[kf].set(new_row), lm_n_obs=st.lm_n_obs + dn,
+        lm_obs_bits=bits)
 
 
 def cull_landmarks(st: MapState, kill: jax.Array) -> MapState:
@@ -291,7 +327,8 @@ def cull_landmarks(st: MapState, kill: jax.Array) -> MapState:
     obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
     dead_obs = obs_valid & jnp.take(kill, obs_safe)
     return dataclasses.replace(
-        st, lm_mask=keep, obs_lm=jnp.where(dead_obs, -1, st.obs_lm))
+        st, lm_mask=keep, obs_lm=jnp.where(dead_obs, -1, st.obs_lm),
+        lm_obs_bits=jnp.where(kill[:, None], 0, st.lm_obs_bits))
 
 
 def replace_landmarks(st: MapState, kill: jax.Array, keep: jax.Array,
@@ -307,27 +344,34 @@ def replace_landmarks(st: MapState, kill: jax.Array, keep: jax.Array,
     L = st.caps.L
     kill_s = jnp.where(valid, kill, L - 1)
     keep_s = jnp.where(valid, keep, L - 1)
-    redirect = jnp.arange(L, dtype=jnp.int32).at[kill_s].set(
-        jnp.where(valid, keep_s, kill_s).astype(jnp.int32))
+    iota = jnp.arange(L, dtype=jnp.int32)
+    redirect = sless.id_lookup(kill_s, valid, keep_s.astype(jnp.int32),
+                               L, iota)
     obs_valid = st.obs_lm >= 0
     new_obs = jnp.where(obs_valid,
                         jnp.take(redirect, jnp.where(obs_valid, st.obs_lm,
                                                      0)),
                         st.obs_lm)
     # combine counters onto the kept landmark
-    dn = jnp.zeros((L,), jnp.int32).at[keep_s].add(
-        jnp.where(valid, st.lm_n_obs[kill_s], 0))
-    df = jnp.zeros((L,), jnp.int32).at[keep_s].add(
-        jnp.where(valid, st.lm_found[kill_s], 0))
-    dv = jnp.zeros((L,), jnp.int32).at[keep_s].add(
-        jnp.where(valid, st.lm_visible[kill_s], 0))
-    kill_mask = jnp.zeros((L,), bool).at[kill_s].set(valid)
+    dn = sless.id_sum(keep_s, valid, st.lm_n_obs[kill_s], L)
+    df = sless.id_sum(keep_s, valid, st.lm_found[kill_s], L)
+    dv = sless.id_sum(keep_s, valid, st.lm_visible[kill_s], L)
+    kill_mask = sless.id_mask(kill_s, valid, L)
+    # kept landmark inherits the killed one's observer bits. NB gather+
+    # scatter: with REPEATED keep ids only the last pair's bits land — an
+    # undercount that only narrows the local-map candidate superset
+    # (rare loop-closing path; the obs table stays exact).
+    bits = st.lm_obs_bits.at[keep_s].set(
+        jnp.where(valid[:, None],
+                  st.lm_obs_bits[keep_s] | st.lm_obs_bits[kill_s],
+                  st.lm_obs_bits[keep_s]))
     return dataclasses.replace(
         st, obs_lm=new_obs,
         lm_mask=st.lm_mask & ~kill_mask,
         lm_n_obs=st.lm_n_obs + dn,
         lm_found=st.lm_found + df,
-        lm_visible=st.lm_visible + dv)
+        lm_visible=st.lm_visible + dv,
+        lm_obs_bits=jnp.where(kill_mask[:, None], 0, bits))
 
 
 def cull_keyframe(st: MapState, k: jax.Array) -> MapState:
@@ -336,8 +380,7 @@ def cull_keyframe(st: MapState, k: jax.Array) -> MapState:
     obs = st.obs_lm[k]
     valid = obs >= 0
     lm_safe = jnp.where(valid, obs, 0)
-    dn = jnp.zeros((st.caps.L,), jnp.int32).at[lm_safe].add(
-        valid.astype(jnp.int32))
+    dn = sless.id_count(lm_safe, valid, st.caps.L)
     # re-parent children of k to k's parent
     parent_of_k = st.spanning_parent[k]
     new_parents = jnp.where(st.spanning_parent == k, parent_of_k,
@@ -347,6 +390,8 @@ def cull_keyframe(st: MapState, k: jax.Array) -> MapState:
         kf_mask=st.kf_mask.at[k].set(False),
         obs_lm=st.obs_lm.at[k].set(jnp.full_like(obs, -1)),
         lm_n_obs=st.lm_n_obs - dn,
+        lm_obs_bits=st.lm_obs_bits &
+        ~_kf_bit_words(k, st.lm_obs_bits.shape[1])[None],
         covis=st.covis.at[k, :].set(0).at[:, k].set(0),
         spanning_parent=new_parents.at[k].set(-1),
     )
@@ -367,8 +412,38 @@ def best_covisible(st: MapState, k: jax.Array, n: int):
 
 def local_map_landmark_mask(st: MapState, kf_sel: jax.Array) -> jax.Array:
     """Bool [L]: landmarks observed by any keyframe in kf_sel (bool [K])
-    (reference: Tracking::UpdateLocalPoints)."""
-    obs_valid = (st.obs_lm >= 0) & kf_sel[:, None] & st.kf_mask[:, None]
-    lm_safe = jnp.where(obs_valid, st.obs_lm, 0)
-    out = jnp.zeros((st.caps.L,), bool)
-    return out.at[lm_safe.reshape(-1)].max(obs_valid.reshape(-1)) & st.lm_mask
+    (reference: Tracking::UpdateLocalPoints).
+
+    Answered from the observer bitmask in O(L*K/32) elementwise ops —
+    the obs-table formulation is a 262k-row scatter (~2.3 ms/frame on
+    TPU). The bitmask is a conservative superset of the obs table (see
+    MapState.lm_obs_bits), which only widens the candidate set."""
+    K = st.caps.K
+    sel = kf_sel & st.kf_mask
+    n_words = st.lm_obs_bits.shape[1]
+    pad = n_words * 32 - K
+    selp = jnp.pad(sel, (0, pad)) if pad else sel
+    words = jnp.sum(
+        jnp.where(selp.reshape(n_words, 32),
+                  jnp.left_shift(jnp.asarray(1, jnp.int32),
+                                 jnp.arange(32))[None, :], 0),
+        axis=1).astype(jnp.int32)
+    hit = jnp.any((st.lm_obs_bits & words[None, :]) != 0, axis=1)
+    return hit & st.lm_mask
+
+
+def rebuild_obs_bits(st: MapState) -> MapState:
+    """Recompute lm_obs_bits exactly from the obs table (used after atlas
+    merges / checkpoint loads where incremental maintenance is impractical;
+    O(K * L * N) — rare-path only)."""
+    L = st.caps.L
+
+    def body(k, bits):
+        row = st.obs_lm[k]
+        valid = (row >= 0) & st.kf_mask[k]
+        m = sless.id_mask(jnp.where(valid, row, 0), valid, L)
+        return _set_obs_bits(bits, k, m)
+
+    bits = jax.lax.fori_loop(0, st.caps.K, body,
+                             jnp.zeros_like(st.lm_obs_bits))
+    return dataclasses.replace(st, lm_obs_bits=bits)

@@ -74,8 +74,8 @@ def masked_match(dist: jax.Array, mask: jax.Array, th: float = TH_HIGH,
     d1 = jnp.take_along_axis(big, j[:, None], axis=1)[:, 0]
     ok = jnp.isfinite(d1) & (d1 < th)
     if ratio is not None:
-        tmp = big.at[jnp.arange(big.shape[0]), j].set(INF)
-        d2 = jnp.min(tmp, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, big.shape, 1)
+        d2 = jnp.min(jnp.where(col == j[:, None], INF, big), axis=1)
         ok &= d1 < ratio * d2
     if mutual:
         i_best = jnp.argmin(big, axis=0)           # [N]
@@ -85,17 +85,17 @@ def masked_match(dist: jax.Array, mask: jax.Array, th: float = TH_HIGH,
 
 def resolve_duplicate_targets(m: Matches, n_targets: int) -> Matches:
     """Keep only the best query per target (a target keypoint can host one
-    match — reference enforces this via bestDist bookkeeping per kp)."""
-    # scatter-min of dist into target slots, then keep rows achieving the min
-    tgt = jnp.where(m.ok, m.idx, n_targets)        # park invalid in slot N
-    best = jnp.full((n_targets + 1,), INF).at[tgt].min(
-        jnp.where(m.ok, m.dist, INF))
-    keep = m.ok & (m.dist <= jnp.take(best, tgt))
-    # among ties, keep lowest row index: recompute winner by argmin over rows
-    order = jnp.where(keep, jnp.arange(m.idx.shape[0]), m.idx.shape[0])
-    first = jnp.full((n_targets + 1,), m.idx.shape[0], jnp.int32).at[tgt].min(
-        order.astype(jnp.int32))
-    keep &= jnp.take(first, tgt) == jnp.arange(m.idx.shape[0])
+    match — reference enforces this via bestDist bookkeeping per kp).
+
+    Scatter-free: a dense [M, n_targets] masked distance with a column
+    argmin (first-min row wins ties, like the scatter-min it replaces —
+    TPU scatters serialize, see core/scatterless.py)."""
+    M = m.idx.shape[0]
+    iota_t = jnp.arange(n_targets, dtype=m.idx.dtype)
+    hit = (iota_t[None, :] == m.idx[:, None]) & m.ok[:, None]  # [M,T]
+    d = jnp.where(hit, m.dist[:, None], INF)
+    win = jnp.argmin(d, axis=0)                                # [T]
+    keep = m.ok & (jnp.take(win, m.idx) == jnp.arange(M))
     return Matches(m.idx, m.dist, keep)
 
 
@@ -135,6 +135,50 @@ def search_by_projection(proj_xy: jax.Array, proj_valid: jax.Array,
         return masked_match(d, mask, th=th_desc, ratio=ratio, mutual=True)
     m = masked_match(d, mask, th=th_desc, ratio=ratio, mutual=mutual)
     return resolve_duplicate_targets(m, kp_xy.shape[0])
+
+
+@partial(jax.jit, static_argnames=())
+def search_by_projection_bind(proj_xy: jax.Array, proj_valid: jax.Array,
+                              query_desc: jax.Array,
+                              kp_xy: jax.Array, kp_valid: jax.Array,
+                              kp_desc: jax.Array, radius: jax.Array | float,
+                              th_desc: float = TH_HIGH):
+    """Target-side projected-window search: returns, per KEYPOINT n,
+    (query_idx [N], dist [N], ok [N]) — the mutual-best query for each
+    keypoint, or ok=False. Same admissibility + mutual-best semantics as
+    the large-M path of search_by_projection, but emitted column-wise so
+    the caller can form keypoint bindings with NO scatter (bindings[n] =
+    query_idx[n] where ok — used by track-local-map where queries are the
+    full landmark table, reference SearchByProjection LGmatcher.cpp:43).
+
+    On TPU this runs the fused Pallas streaming kernel (HBM traffic
+    O((M+N)*D) instead of materializing the [M,N] distance matrix); the
+    XLA path is the CPU/test fallback and numerics oracle."""
+    from dani_slam_tpu.ops import pallas_kernels as pk
+
+    if jax.default_backend() == "tpu":
+        _, _, j, cbest, ci = pk.window_match_topk2(
+            query_desc, proj_xy, proj_valid, kp_desc, kp_xy, kp_valid,
+            radius)
+        cd = jnp.sqrt(jnp.maximum(cbest, 0.0))
+        ok = (cbest < th_desc * th_desc) & \
+            (jnp.take(j, ci) == jnp.arange(kp_xy.shape[0]))
+        return ci.astype(jnp.int32), cd, ok
+
+    d = desc_distance_matrix(query_desc, kp_desc)
+    dx = proj_xy[:, None, 0] - kp_xy[None, :, 0]
+    dy = proj_xy[:, None, 1] - kp_xy[None, :, 1]
+    r = jnp.asarray(radius)
+    r2 = (r * r) if r.ndim == 0 else (r * r)[:, None]
+    window = (dx * dx + dy * dy) <= r2
+    mask = window & proj_valid[:, None] & kp_valid[None, :]
+    big = jnp.where(mask, d, INF)
+    j = jnp.argmin(big, axis=1)                       # [M] row best target
+    ci = jnp.argmin(big, axis=0)                      # [N] col best query
+    cd = jnp.min(big, axis=0)
+    ok = jnp.isfinite(cd) & (cd < th_desc) & \
+        (jnp.take(j, ci) == jnp.arange(kp_xy.shape[0]))
+    return ci.astype(jnp.int32), cd, ok
 
 
 @jax.jit

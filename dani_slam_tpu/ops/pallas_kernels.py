@@ -28,10 +28,22 @@ BIG = 1e9
 
 
 def _match_kernel(qdesc_ref, qxy_ref, qvalid_ref, tdesc_ref, txy_ref,
-                  tvalid_ref, r2_ref, best_ref, second_ref, idx_ref):
-    """One TM-row block: stream all N targets in TN tiles."""
+                  tvalid_ref, r2_ref, best_ref, second_ref, idx_ref,
+                  cbest_ref, cidx_ref):
+    """One TM-row block: stream all N targets in TN tiles.
+
+    Row outputs (best/second/idx) are per-grid-block; the COLUMN outputs
+    (cbest/cidx — best query per target, for scatter-free target-side
+    bindings) are accumulated across the sequential TPU grid via a pinned
+    output block (index_map -> same block every step)."""
+    gi = pl.program_id(0)
     n_total = tdesc_ref.shape[0]
     n_tiles = n_total // TN
+
+    @pl.when(gi == 0)
+    def _init_cols():
+        cbest_ref[:] = jnp.full_like(cbest_ref, BIG)
+        cidx_ref[:] = jnp.zeros_like(cidx_ref)
 
     q = qdesc_ref[:].astype(jnp.bfloat16)              # [TM,D]
     qx = qxy_ref[:, 0:1]
@@ -42,9 +54,14 @@ def _match_kernel(qdesc_ref, qxy_ref, qvalid_ref, tdesc_ref, txy_ref,
     def tile(i, carry):
         best, second, idx = carry
         t = tdesc_ref[pl.ds(i * TN, TN), :].astype(jnp.bfloat16)  # [TN,D]
+        # precision must be pinned to DEFAULT: the process-global
+        # jax_default_matmul_precision='highest' (System guards f32 SLAM
+        # geometry with it) otherwise leaks in as contract_precision=fp32,
+        # which Mosaic rejects for bf16 operands ("Bad lhs type")
         dots = jax.lax.dot_general(
             q, t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [TM,TN]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)       # [TM,TN]
         dist = jnp.maximum(2.0 - 2.0 * dots, 0.0)
 
         tx = txy_ref[pl.ds(i * TN, TN), 0]
@@ -62,6 +79,17 @@ def _match_kernel(qdesc_ref, qxy_ref, qvalid_ref, tdesc_ref, txy_ref,
         dist2 = jnp.where(col == targ[:, None], BIG, dist)
         tb2 = jnp.min(dist2, axis=1, keepdims=True)
         tidx = (targ + i * TN)[:, None]
+
+        # column-side: best query row of this [TM,TN] tile, merged into the
+        # running per-target winners (strict < keeps the earliest row on
+        # ties, matching XLA argmin-over-rows semantics)
+        c1 = jnp.min(dist, axis=0)                                # [TN]
+        crow = jnp.argmin(dist, axis=0) + gi * TM                 # [TN]
+        cur = cbest_ref[pl.ds(i * TN, TN), 0]
+        curi = cidx_ref[pl.ds(i * TN, TN), 0]
+        upd = c1 < cur
+        cbest_ref[pl.ds(i * TN, TN), 0] = jnp.where(upd, c1, cur)
+        cidx_ref[pl.ds(i * TN, TN), 0] = jnp.where(upd, crow, curi)
 
         # merge running (best, second) with tile (tb1, tb2)
         new_best = jnp.minimum(best, tb1)
@@ -93,7 +121,10 @@ def window_match_topk2(qdesc, qxy, qvalid, tdesc, txy, tvalid, radius,
 
     qdesc [M,D], qxy [M,2], qvalid [M] bool; tdesc [N,D], txy [N,2],
     tvalid [N] bool; radius scalar or [M]. Returns (best [M], second [M],
-    idx [M]) with BIG (1e9) distances where no admissible target exists.
+    idx [M], col_best [N], col_idx [N]) with BIG (1e9) distances where no
+    admissible pairing exists; distances are SQUARED L2 (2-2*dot). The
+    col_* outputs give the best query per target (for scatter-free
+    target-side bindings, see matching.search_by_projection_bind).
     """
     M, D = qdesc.shape
     N = tdesc.shape[0]
@@ -118,24 +149,29 @@ def window_match_topk2(qdesc, qxy, qvalid, tdesc, txy, tvalid, radius,
                                    memory_space=pltpu.VMEM)
     tspec = lambda c: pl.BlockSpec((Np, c), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
-    best, second, idx = pl.pallas_call(
+    best, second, idx, cbest, cidx = pl.pallas_call(
         _match_kernel,
         grid=grid,
         in_specs=[qspec(D), qspec(2), qspec(1), tspec(D), tspec(2),
                   tspec(1), qspec(1)],
-        out_specs=[qspec(1), qspec(1), qspec(1)],
+        out_specs=[qspec(1), qspec(1), qspec(1), tspec(1), tspec(1)],
         out_shape=[jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
                    jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((Mp, 1), jnp.int32)],
+                   jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, 1), jnp.int32)],
         interpret=interpret,
     )(*args)
-    return best[:M, 0], second[:M, 0], idx[:M, 0]
+    return (best[:M, 0], second[:M, 0], idx[:M, 0],
+            cbest[:N, 0], cidx[:N, 0])
 
 
 def window_match_topk2_xla(qdesc, qxy, qvalid, tdesc, txy, tvalid, radius):
     """Reference XLA implementation (materializes the full matrix) — used
-    for CPU tests and as the numerics oracle for the kernel."""
-    dots = jnp.dot(qdesc, tdesc.T, preferred_element_type=jnp.float32)
+    for CPU tests and as the numerics oracle for the kernel. Matches the
+    kernel's bf16 matmul precision so gates behave identically."""
+    dots = jnp.dot(qdesc.astype(jnp.bfloat16), tdesc.astype(jnp.bfloat16).T,
+                   preferred_element_type=jnp.float32)
     dist = jnp.maximum(2.0 - 2.0 * dots, 0.0)
     r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (qdesc.shape[0],))
     dx = qxy[:, None, 0] - txy[None, :, 0]
@@ -148,4 +184,7 @@ def window_match_topk2_xla(qdesc, qxy, qvalid, tdesc, txy, tvalid, radius):
     col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     d2 = jnp.where(col == idx[:, None], BIG, dist)
     second = jnp.min(d2, axis=1)
-    return best, second, idx.astype(jnp.int32)
+    cbest = jnp.min(dist, axis=0)
+    cidx = jnp.argmin(dist, axis=0)
+    return (best, second, idx.astype(jnp.int32),
+            cbest, cidx.astype(jnp.int32))

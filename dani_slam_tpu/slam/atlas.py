@@ -156,6 +156,9 @@ def merge_into(target: mstate.MapState, source: mstate.MapState):
             dst_kf, source.kf_mask),
         next_kf_counter=target.next_kf_counter + source.next_kf_counter,
     )
+    # observer bitmask: slot ids moved for every source KF/landmark —
+    # rebuild exactly from the merged obs table (rare path)
+    t2 = mstate.rebuild_obs_bits(t2)
     return t2, kf_map, lm_map, ok
 
 

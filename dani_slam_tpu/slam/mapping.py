@@ -158,8 +158,8 @@ def create_depth_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
     unb = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
     good = unb & jnp.isfinite(depth) & (depth > 0) & (depth < max_depth)
     order = jnp.argsort(jnp.where(good, depth, jnp.inf))
-    rank = jnp.zeros((kp.shape[0],), jnp.int32).at[order].set(
-        jnp.arange(kp.shape[0], dtype=jnp.int32))
+    # inverse permutation via double argsort (scatter-free)
+    rank = jnp.argsort(order).astype(jnp.int32)
     good &= (depth < close_depth) | (rank < max_create)
     R1 = st.kf_R[kf_new]
     t1 = st.kf_t[kf_new]
@@ -247,28 +247,29 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
     opt_idx = jnp.concatenate([center_kf[None], top_idx])      # [P_opt]
     opt_real = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
     opt_real &= st.kf_mask[opt_idx]
-    kf_sel = jnp.zeros((K,), bool).at[jnp.where(opt_real, opt_idx, K - 1)].max(
-        opt_real)
 
     # --- landmarks observed by the optimized set ---
-    lm_sel = mstate.local_map_landmark_mask(st, kf_sel)        # [L]
-    # compress to L_loc local slots, ranked by how many WINDOW keyframes
-    # observe each landmark — when the local map overflows the cap, the
-    # multi-view-constrained points carry the solve (picking by slot id
-    # skews to the oldest keyframe's points and can leave the center pose
-    # nearly unconstrained)
+    # window observation count doubles as the selection mask (scatter-free
+    # equivalent of local_map_landmark_mask over the window KFs), ranked by
+    # how many WINDOW keyframes observe each landmark — when the local map
+    # overflows the cap, the multi-view-constrained points carry the solve
+    # (picking by slot id skews to the oldest keyframe's points and can
+    # leave the center pose nearly unconstrained)
     obs_w = st.obs_lm[opt_idx]                                 # [P_opt,N]
     valid_w = ((obs_w >= 0) & st.kf_kp_mask[opt_idx] &
                opt_real[:, None])
-    win_cnt = jnp.zeros((st.caps.L,), jnp.int32).at[
-        jnp.where(valid_w, obs_w, 0)].add(valid_w.astype(jnp.int32))
+    from dani_slam_tpu.core import scatterless as sless
+    win_cnt = sless.id_count(jnp.where(valid_w, obs_w, 0).reshape(-1),
+                             valid_w.reshape(-1), st.caps.L)
+    lm_sel = st.lm_mask & (win_cnt > 0)
     # argsort not lax.top_k: TPU top_k is ~100x slower at L=2^15 (see
     # core/state.free_slots)
     lkey = jnp.where(lm_sel, win_cnt, -1)
     loc_lm = jnp.argsort(-lkey)[:L_loc]              # [L_loc] global ids
     loc_lm_valid = lm_sel[loc_lm]
-    inv = jnp.full((st.caps.L,), -1, jnp.int32).at[loc_lm].set(
-        jnp.arange(L_loc, dtype=jnp.int32))
+    inv = sless.id_lookup(loc_lm, loc_lm_valid,
+                          jnp.arange(L_loc, dtype=jnp.int32), st.caps.L,
+                          jnp.full((st.caps.L,), -1, jnp.int32))
     inv = jnp.where(lm_sel, inv, -1)   # only selected map to local
 
     # --- fixed keyframes: other observers of the selected landmarks ---
@@ -276,6 +277,7 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
     obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
     sees_local = obs_valid & (jnp.take(inv, obs_safe) >= 0)    # [K,N]
     observer_cnt = jnp.sum(sees_local, axis=1).astype(jnp.int32)
+    kf_sel = sless.id_mask(opt_idx, opt_real, K)
     observer_cnt = jnp.where(st.kf_mask & ~kf_sel, observer_cnt, 0)
     fix_idx = jnp.argsort(-observer_cnt)[:P_fix]
     fix_real = observer_cnt[fix_idx] > 0
@@ -333,14 +335,16 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
         jnp.where(upd[:, None, None], res.R, st.kf_R[safe_idx]))
     new_t = st.kf_t.at[safe_idx].set(
         jnp.where(upd[:, None], res.t, st.kf_t[safe_idx]))
-    new_lm = st.lm_pos.at[loc_lm].set(
-        jnp.where(loc_lm_valid[:, None], res.lm_pos, st.lm_pos[loc_lm]))
+    # gather-side writeback via the inverse map (no 2048-row scatter)
+    upd_lm = (inv >= 0) & jnp.take(loc_lm_valid, jnp.maximum(inv, 0))
+    new_lm = jnp.where(upd_lm[:, None],
+                       res.lm_pos[jnp.maximum(inv, 0)], st.lm_pos)
     # drop observations classified as outliers (reference erases high-chi2
-    # edges after LBA, src/Optimizer.cc:1391-1420)
-    out_rows = row_valid & ~res.obs_inlier
-    obs_upd = st.obs_lm.at[jnp.repeat(all_idx, N),
-                           jnp.tile(jnp.arange(N), P)].set(
-        jnp.where(out_rows, -1, st.obs_lm[all_idx].reshape(-1)))
+    # edges after LBA, src/Optimizer.cc:1391-1420) — whole-row writes (a
+    # flat 16k-element scatter serializes on TPU; P row updates don't)
+    out_rows = (row_valid & ~res.obs_inlier).reshape(P, N)
+    obs_upd = st.obs_lm.at[all_idx].set(
+        jnp.where(out_rows, -1, st.obs_lm[all_idx]))
     return dataclasses.replace(st, kf_R=new_R, kf_t=new_t, lm_pos=new_lm,
                                obs_lm=obs_upd)
 
@@ -391,15 +395,30 @@ def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
 # src/LocalMapping.cc:85-107, as a single XLA program).
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("use_depth", "do_ba", "n_neighbors",
-                                   "matcher_model"))
+@partial(jax.jit, static_argnames=("use_depth", "do_ba", "do_aux",
+                                   "n_neighbors", "matcher_model"))
 def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
                   feat_depth, bind, R, t, time, frame_id,
                   use_depth: bool = False, do_ba: bool = True,
+                  do_aux: bool = True,
                   max_depth: float = 40.0, n_neighbors: int = 5,
-                  feat_octave=None, matcher_model=None, matcher_params=None):
+                  feat_octave=None, matcher_model=None, matcher_params=None,
+                  chain=None):
     """Insert a keyframe and run the full mapping pipeline. Returns
-    (st, kf_slot, n_tracked)."""
+    (st, kf_slot, n_tracked, chain') where chain'/(corr) re-anchor the
+    tracker's pose chain onto the BA-refined keyframe pose (reference:
+    Tracking re-reads the BA-updated map, src/Tracking.cc:1909-1915) —
+    folded into this program so the keyframe costs one dispatch.
+
+    do_aux gates the non-critical maintenance passes (fuse-into-neighbors +
+    culling): the System alternates them across keyframes to halve their
+    average device cost — the reference's LocalMapping thread similarly
+    skips Fuse/culling when its queue backs up (CheckNewKeyFrames guards,
+    src/LocalMapping.cc:85-107), trading maintenance latency for
+    throughput, not correctness (both are idempotent catch-up passes).
+
+    chain: optional (R_cur, t_cur, R_last, t_last) tracker poses; chain'
+    is (R_cur', t_cur', R_last', t_last', corr_R, corr_t) or None."""
     N = feat_xy.shape[0]
     octave = (feat_octave if feat_octave is not None
               else jnp.zeros((N,), jnp.int8))
@@ -411,15 +430,24 @@ def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
     st = create_new_landmarks(st, cam, k, n_neighbors=n_neighbors,
                               matcher_model=matcher_model,
                               matcher_params=matcher_params)
-    st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors)
+    if do_aux:
+        st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors)
     if do_ba:
         st = local_bundle_adjustment(st, cam, k)
-    st = cull_bad_landmarks(st, st.next_kf_counter)
-    # up to two redundant neighbors culled per keyframe (the reference
-    # erases every redundant KF in the local window per pass)
-    st = cull_redundant_keyframes(st, k)
-    st = cull_redundant_keyframes(st, k)
-    return st, k, jnp.sum((bind >= 0).astype(jnp.int32))
+    if do_aux:
+        st = cull_bad_landmarks(st, st.next_kf_counter)
+        # up to two redundant neighbors culled per keyframe (the reference
+        # erases every redundant KF in the local window per pass)
+        st = cull_redundant_keyframes(st, k)
+        st = cull_redundant_keyframes(st, k)
+    chain_out = None
+    if chain is not None:
+        R_cur, t_cur, R_last, t_last = chain
+        corr = lie.se3_mul(*lie.se3_inv(R, t), st.kf_R[k], st.kf_t[k])
+        R_c, t_c = lie.se3_mul(R_cur, t_cur, *corr)
+        R_l, t_l = lie.se3_mul(R_last, t_last, *corr)
+        chain_out = (R_c, t_c, R_l, t_l, corr[0], corr[1])
+    return st, k, jnp.sum((bind >= 0).astype(jnp.int32)), chain_out
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dani_slam_tpu.core import cameras as _cam
-from dani_slam_tpu.core import lie, state as mstate
+from dani_slam_tpu.core import lie, scatterless as sless, state as mstate
 from dani_slam_tpu.ops import matching, solvers, twoview
 from dani_slam_tpu.slam.frame import FrameFeatures
 
@@ -93,9 +93,9 @@ def build_initial_map(st: mstate.MapState, cam, f0: FrameFeatures,
         jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32), good)
 
     bind0 = jnp.where(good & (slots >= 0), slots, -1)
-    # bindings for f1: scatter via match idx
-    bind1 = jnp.full((N,), -1, jnp.int32).at[m.idx].set(
-        jnp.where(good & (slots >= 0), slots, -1))
+    # bindings for f1 keypoints, formed target-side (no scatter)
+    bind1 = sless.id_lookup(m.idx, good & (slots >= 0), slots, N,
+                            jnp.full((N,), -1, jnp.int32))
 
     st, k0 = mstate.insert_keyframe(
         st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id0, f0.xy, f0.valid,
@@ -154,10 +154,10 @@ def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
     m = matching.search_by_projection(xy, vis, lm_desc, feat.xy, feat.valid,
                                       feat.desc,
                                       radius=radius * SCALE_FACTOR ** octv)
-    # bindings on the current frame's keypoints
-    bind = jnp.full((feat.xy.shape[0],), -1, jnp.int32)
-    bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
-        jnp.where(m.ok, lm_ids, -1))
+    # bindings on the current frame's keypoints (scatter-free: TPU scatters
+    # serialize, see core/scatterless.py)
+    bind = sless.id_max(m.idx, m.ok, lm_ids, feat.xy.shape[0],
+                        jnp.asarray(-1, jnp.int32))
 
     # 2 rounds suffice here: this pose only SEEDS the local-map search;
     # the final accuracy comes from track_local_map's full 4-round solve
@@ -220,9 +220,8 @@ def track_reference_keyframe(st: mstate.MapState, cam, feat: FrameFeatures,
                                   th=matching.TH_HIGH, ratio=0.9,
                                   mutual=True)
         m = matching.resolve_duplicate_targets(m, feat.xy.shape[0])
-    bind = jnp.full((feat.xy.shape[0],), -1, jnp.int32)
-    bind = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
-        jnp.where(m.ok, lm_ids, -1))
+    bind = sless.id_max(m.idx, m.ok, lm_ids, feat.xy.shape[0],
+                        jnp.asarray(-1, jnp.int32))
     return _optimize_with_bindings(st, cam, feat, bind, R0, t0, use_depth)
 
 
@@ -287,7 +286,7 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
     K = st.caps.K
     # K1: keyframes observing currently-bound landmarks
     has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
-    seen = jnp.zeros((st.caps.L,), bool).at[jnp.where(has, bind, 0)].max(has)
+    seen = sless.id_mask(bind, has, st.caps.L)
     obs_valid = st.obs_lm >= 0
     obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
     overlap = jnp.sum(jnp.take(seen, obs_safe) & obs_valid, axis=1)
@@ -304,23 +303,19 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
         R0, t0, cam, st.lm_pos, lm_sel, st.lm_normal, st.lm_dist_min,
         st.lm_dist_max)
     octv = matching.predict_scale_level(dist, st.lm_dist_max)
-    m = matching.search_by_projection(xy, vis, st.lm_desc, feat.xy,
-                                      feat.valid & (bind < 0), feat.desc,
-                                      radius=radius * SCALE_FACTOR ** octv)
-    bind2 = bind.at[jnp.where(m.ok, m.idx, feat.xy.shape[0] - 1)].max(
-        jnp.where(m.ok, jnp.arange(st.caps.L, dtype=jnp.int32), -1))
-    bind2 = jnp.where(bind >= 0, bind, bind2)
+    # target-side search: bindings form directly per keypoint, no scatter
+    ci, _, cok = matching.search_by_projection_bind(
+        xy, vis, st.lm_desc, feat.xy, feat.valid & (bind < 0), feat.desc,
+        radius=radius * SCALE_FACTOR ** octv)
+    bind2 = jnp.where(bind >= 0, bind, jnp.where(cok, ci, -1))
 
     out = _optimize_with_bindings(st, cam, feat, bind2, R0, t0, use_depth)
 
     # visibility bookkeeping (reference: IncreaseVisible/IncreaseFound,
     # used by MapPointCulling's found-ratio)
-    vis_ids = jnp.where(vis | seen, jnp.arange(st.caps.L), 0)
-    dvis = jnp.zeros((st.caps.L,), jnp.int32).at[vis_ids].add(
-        (vis | seen).astype(jnp.int32))
+    dvis = (vis | seen).astype(jnp.int32)
     fin = (out.bindings >= 0)
-    dfound = jnp.zeros((st.caps.L,), jnp.int32).at[
-        jnp.where(fin, out.bindings, 0)].add(fin.astype(jnp.int32))
+    dfound = sless.id_count(out.bindings, fin, st.caps.L)
     st2 = dataclasses.replace(st, lm_visible=st.lm_visible + dvis,
                               lm_found=st.lm_found + dfound)
     return TrackStepOut(out.R, out.t, out.bindings, out.n_inliers, st2)
@@ -390,6 +385,65 @@ def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
     return R3, out3.t, out3.bindings, counts, out3.st
 
 
+@partial(jax.jit,
+         static_argnames=("n_max", "use_boxes", "min_inliers", "has_vel",
+                          "matcher_model", "det_model", "det_hw",
+                          "det_score_th", "det_anchors"))
+def rgbd_frame_fused(sp_params, img, depth_img, cam, time, depth_factor,
+                     threshold, boxes, box_mask,
+                     st: mstate.MapState, last_bind, R_cur, t_cur, Rv, tv,
+                     ref_kf, n_max: int = 1024, use_boxes: bool = False,
+                     min_inliers: int = 10, has_vel: bool = True,
+                     matcher_model=None, matcher_params=None,
+                     det_model=None, det_params=None, dyn_ids=None,
+                     det_hw=None, det_score_th: float = 0.4,
+                     det_anchors=None):
+    """The ENTIRE per-frame pipeline as ONE XLA program: (YOLO dynamic
+    masking ->) SuperPoint frontend -> fused track step -> velocity update
+    -> reference-KF pose gather. Under the axon transport each program
+    execution pays a ~2 ms non-overlappable round-trip, so the frame loop's
+    previous 3-4 dispatches (detector, frontend, track, ref-pose, eager
+    velocity composition) are collapsed into one (reference: the per-frame
+    work of Tracking::GrabImageRGBD + Track, src/Tracking.cc:1512-2286).
+
+    Returns (feat, R, t, bind, counts, st2, (Rv', tv'), (R_ref, t_ref),
+    dyn_ratio)."""
+    from dani_slam_tpu.slam import frame as frame_mod
+
+    dyn_ratio = jnp.zeros((), jnp.float32)
+    if det_model is not None:
+        from dani_slam_tpu.models.yolo import _mask_program
+        boxes, box_mask, dyn_ratio = _mask_program(
+            det_model, det_params, img, dyn_ids, det_hw[0], det_hw[1],
+            score_th=det_score_th, anchors=det_anchors)
+        use_boxes = True
+
+    feat = frame_mod._frame_rgbd_program(
+        sp_params, img, depth_img, cam, time, depth_factor, threshold,
+        boxes, box_mask, n_max=n_max, use_boxes=use_boxes)
+
+    R3, t3, bind, counts, st2 = track_frame_step(
+        st, cam, feat, last_bind, R_cur, t_cur, Rv, tv, ref_kf,
+        min_inliers=min_inliers, use_depth=True, has_vel=has_vel,
+        matcher_model=matcher_model, matcher_params=matcher_params)
+
+    # velocity for the next frame: T_new o T_last^-1 (reference mVelocity,
+    # src/Tracking.cc:2227) — previously an eager host-side composition
+    # costing its own dispatches
+    Rv2, tv2 = lie.se3_mul(R3, t3, *lie.se3_inv(R_cur, t_cur))
+    R_ref = st2.kf_R[ref_kf]
+    t_ref = st2.kf_t[ref_kf]
+    # ride the keyframe-decision scalars along the async counts transfer:
+    # dyn_ratio (x1000 fixed-point) and the live keyframe count — pulling
+    # either separately at decision time blocks the host on the in-flight
+    # frame program (the old 70+ ms KF-frame stalls)
+    counts6 = jnp.concatenate([counts, jnp.stack([
+        (dyn_ratio * 1000.0).astype(jnp.int32),
+        jnp.sum(st2.kf_mask.astype(jnp.int32))])])
+    return (feat, R3, t3, bind, counts6, st2, (Rv2, tv2), (R_ref, t_ref),
+            dyn_ratio)
+
+
 @partial(jax.jit, static_argnames=("use_depth",))
 def vi_refine_step(st: mstate.MapState, cam, feat: FrameFeatures,
                    bind: jax.Array, R, t, v, bg, ba,
@@ -409,6 +463,45 @@ def vi_refine_step(st: mstate.MapState, cam, feat: FrameFeatures,
         obs_depth=feat.depth if use_depth else None, use_depth=use_depth,
         iters=8, info_cap=1e3)
     return R2, t2, v2, bg2, ba2, n
+
+
+@partial(jax.jit, static_argnames=("use_depth",))
+def vi_refine_step_marg(st: mstate.MapState, cam, feat: FrameFeatures,
+                        bind: jax.Array, R, t, v, bg, ba,
+                        R_prev, t_prev, v_prev, prior_info, preint, calib,
+                        use_depth: bool = False):
+    """Visual-inertial refinement with the TRUE marginalized prior: the
+    previous frame's state is optimized jointly (30 DoF) under the carried
+    15x15 prior information, then Schur-marginalized out — the reference's
+    PoseInertialOptimizationLastFrame + Marginalize chain
+    (src/Optimizer.cc:4875,2960; include/G2oTypes.h:732). Returns
+    (R, t, v, bg, ba, n_inliers, prior_info_next)."""
+    from dani_slam_tpu.ops import solvers as slv
+
+    has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
+    pts = st.lm_pos[jnp.where(has, bind, 0)]
+    (R2, t2, v2, bg2, ba2, inl, n,
+     info_next) = slv.pose_inertial_optimize_marginalized(
+        R, t, v, bg, ba, R_prev, t_prev, v_prev, bg, ba, prior_info,
+        preint, calib, cam, pts, feat.xy, has,
+        obs_depth=feat.depth if use_depth else None, use_depth=use_depth,
+        iters=8)
+    return R2, t2, v2, bg2, ba2, n, info_next
+
+
+def bootstrap_prior_info(preint, calib, info_cap: float = 1e3):
+    """Initial 15x15 prior information for the marginalized VI chain —
+    the first post-IMU-init frame has no marginalized prior yet (the
+    reference's first frame after a KF runs ...LastKeyFrame with a fixed
+    anchor, src/Optimizer.cc:4491); the capped diagonal of the inverse
+    preintegration covariance is the same trust the anchored fallback used."""
+    covs = preint.cov[jnp.arange(9), jnp.arange(9)]
+    info9 = jnp.clip(1.0 / jnp.maximum(covs, 1e-8), 0.0, info_cap)
+    dtp = jnp.maximum(preint.dt, 1e-3)
+    walk = jnp.concatenate([
+        jnp.full((3,), 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dtp, 1e-12)),
+        jnp.full((3,), 1.0 / jnp.maximum(calib.walk_acc ** 2 * dtp, 1e-12))])
+    return jnp.diag(jnp.concatenate([info9, jnp.clip(walk, 0.0, info_cap)]))
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +549,9 @@ class Tracker:
         # primary matcher for the reference-KF fallback (reference:
         # TrackReferenceKeyFrame runs LightGlue via SearchByBoW)
         self.matcher = None
+        # SuperPoint params for the fused image-in frame program (set by
+        # System when running the image path)
+        self.sp_params = None
         # localization-mode visual odometry against last-frame depth points
         # (reference mbVO, src/Tracking.cc:2090-2134) — set by
         # System.activate_localization_mode
@@ -500,6 +596,8 @@ class Tracker:
         self._pending = []       # deferred decisions (pipelined mode)
         self.pipeline_depth = 2  # frames in flight before resolving
         self.dynamic_ratio = None  # device scalar set by System (YOLO)
+        self._host_dyn_ratio = None  # host copies ridden along the counts
+        self._host_n_kf = None       # transfer by the fused image path
         # fresh inertial state (same calibration) if one was installed
         if prev_inertial is not None:
             from dani_slam_tpu.slam.inertial import InertialState
@@ -539,6 +637,68 @@ class Tracker:
             R_ref, t_ref = _ref_pose(self.st, self.ref_kf_dev)
             self._traj_dev.append((feat.time, self.R, self.t, R_ref, t_ref,
                                    self.ref_kf, self.ref_kf_fid))
+        return self.state, self.R, self.t
+
+    def track_image_rgbd(self, img, depth_img, time_dev, depth_factor_dev,
+                         threshold_dev, nobox, detector=None,
+                         n_max: int = 1024):
+        """Image-in RGB-D tracking with the fused one-dispatch program
+        (rgbd_frame_fused). Falls back to the feature path for
+        initialization / lost / inertial frames. Returns (state, R, t)."""
+        hot = (self.state == OK and self.pipelined and
+               not (self.inertial is not None and self.inertial.initialized))
+        det_kw = {}
+        if detector is not None:
+            det_kw = dict(det_model=detector.model,
+                          det_params=detector.params,
+                          dyn_ids=detector.dyn_ids,
+                          det_hw=tuple(detector.input_hw),
+                          det_score_th=detector.score_th,
+                          det_anchors=detector.anchors)
+        if not hot:
+            from dani_slam_tpu.slam import frame as frame_mod
+            boxes, bmask = nobox
+            use_boxes = False
+            if detector is not None:
+                boxes, bmask, dyn_ratio = detector.dynamic_mask_inputs(img)
+                self.dynamic_ratio = dyn_ratio
+                use_boxes = True
+            feat = frame_mod._frame_rgbd_program(
+                self.sp_params, img, depth_img, self.cam, time_dev,
+                depth_factor_dev, threshold_dev, boxes, bmask, n_max=n_max,
+                use_boxes=use_boxes)
+            return self.track(feat)
+
+        self.new_kf = None
+        self._resolve_pending()
+        mm = self.matcher
+        has_vel = self.vel is not None
+        Rv, tv = self.vel if has_vel else (jnp.eye(3), jnp.zeros(3))
+        (feat, R_new, t_new, bind, counts, st, vel2, ref_pose,
+         dyn_ratio) = rgbd_frame_fused(
+            self.sp_params, img, depth_img, self.cam, time_dev,
+            depth_factor_dev, threshold_dev, nobox[0], nobox[1],
+            self.st, self.last_bind, self.R, self.t, Rv, tv,
+            self.ref_kf_dev, n_max=n_max,
+            min_inliers=self.min_inliers_track, has_vel=has_vel,
+            matcher_model=mm.model if mm is not None else None,
+            matcher_params=mm.params if mm is not None else None, **det_kw)
+        if detector is not None:
+            self.dynamic_ratio = dyn_ratio
+
+        snapshot = (self.R, self.t, self.R_last, self.t_last, self.vel,
+                    self.st, self.last_bind, self.last_feat,
+                    self.last_time, None)
+        try:
+            counts.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._apply_track(feat, R_new, t_new, bind, st, vel=vel2)
+        self._pending.append((counts, feat, bind, (R_new, t_new), snapshot))
+
+        self.frame_id += 1
+        self._traj_dev.append((feat.time, self.R, self.t, ref_pose[0],
+                               ref_pose[1], self.ref_kf, self.ref_kf_fid))
         return self.state, self.R, self.t
 
     @property
@@ -656,15 +816,24 @@ class Tracker:
         # PoseInertialOptimization* once the IMU is initialized)
         if (self.inertial is not None and self.inertial.initialized and
                 self.inertial.last_preint is not None):
-            R_new, t_new, v2, bg2, ba2, n_vi = vi_refine_step(
+            # marginalized prior chain: first post-init frame bootstraps the
+            # prior, later frames carry the Schur-marginalized information
+            # forward (reference: Marginalize -> EdgePriorPoseImu ->
+            # ...LastFrame, src/Optimizer.cc:2960,4875)
+            if self.inertial.prior_info is None:
+                self.inertial.prior_info = bootstrap_prior_info(
+                    self.inertial.last_preint, self.inertial.calib)
+            (R_new, t_new, v2, bg2, ba2, n_vi,
+             info_next) = vi_refine_step_marg(
                 st, self.cam, feat, bind, R_new, t_new, self.inertial.v_w,
                 self.inertial.bias_g, self.inertial.bias_a,
                 self.R, self.t, self.inertial.v_w,
-                self.inertial.last_preint, self.inertial.calib,
-                use_depth=self.use_depth)
+                self.inertial.prior_info, self.inertial.last_preint,
+                self.inertial.calib, use_depth=self.use_depth)
             self.inertial.v_w = v2
             self.inertial.bias_g = bg2
             self.inertial.bias_a = ba2
+            self.inertial.prior_info = info_next
             self._vi_refined = True
 
         if self.pipelined:
@@ -682,7 +851,8 @@ class Tracker:
                 # visual pose
                 inert_snap = (self.inertial.v_w, self.inertial.bias_g,
                               self.inertial.bias_a, self.inertial.last_preint,
-                              len(self.inertial.frame_windows))
+                              len(self.inertial.frame_windows),
+                              self.inertial.prior_info)
             snapshot = (self.R, self.t, self.R_last, self.t_last, self.vel,
                         self.st, self.last_bind, self.last_feat,
                         self.last_time, inert_snap)
@@ -720,15 +890,20 @@ class Tracker:
             if self._need_new_kf(n, n_ct, n_cf):
                 self._create_kf(feat, bind)
 
-    def _apply_track(self, feat, R_new, t_new, bind, st):
+    def _apply_track(self, feat, R_new, t_new, bind, st, vel=None):
         self.st = st
         self.state = OK
         self.frames_lost = 0
         # velocity update (reference: mVelocity = Tcl, Tracking.cc:2227);
         # R_new is re-orthonormalized on device — without it, f32 scale error
-        # feeds back through the velocity chain and grows exponentially
-        Ri, ti = lie.se3_inv(self.R_last, self.t_last)
-        self.vel = lie.se3_mul(R_new, t_new, Ri, ti)
+        # feeds back through the velocity chain and grows exponentially.
+        # The fused frame program computes vel on-device and passes it in;
+        # the eager composition below costs extra dispatches per frame.
+        if vel is not None:
+            self.vel = vel
+        else:
+            Ri, ti = lie.se3_inv(self.R_last, self.t_last)
+            self.vel = lie.se3_mul(R_new, t_new, Ri, ti)
         # world-frame velocity for the inertial pipeline: finite-difference
         # fallback ONLY when the VI refinement didn't already produce a
         # better (optimized) velocity this frame
@@ -753,7 +928,14 @@ class Tracker:
         while self._pending and (force or
                                  len(self._pending) > self.pipeline_depth):
             counts, feat, bind, frame_pose, snapshot = self._pending.pop(0)
-            n_track, n, n_ct, n_cf = (int(x) for x in np.asarray(counts))
+            vals = np.asarray(counts)
+            n_track, n, n_ct, n_cf = (int(x) for x in vals[:4])
+            if len(vals) > 4:
+                # fused image path rides the KF-decision scalars along
+                # (see rgbd_frame_fused): host copies mean _need_new_kf
+                # never blocks on the in-flight frame program
+                self._host_dyn_ratio = float(vals[4]) / 1000.0
+                self._host_n_kf = int(vals[5])
             import os as _os
             if _os.environ.get("DANI_DEBUG_TRACK"):
                 import sys as _s
@@ -769,7 +951,7 @@ class Tracker:
                 if inert_snap is not None and self.inertial is not None:
                     (self.inertial.v_w, self.inertial.bias_g,
                      self.inertial.bias_a, self.inertial.last_preint,
-                     n_wins) = inert_snap
+                     n_wins, self.inertial.prior_info) = inert_snap
                     del self.inertial.frame_windows[n_wins:]
                 for _ in range(len(self._pending) + 1):
                     if self._traj_dev:
@@ -798,6 +980,10 @@ class Tracker:
                 self.vel = None
                 self.last_feat = feat
                 self.last_bind = bind
+                if self.inertial is not None:
+                    # a relocalization jump invalidates the carried
+                    # marginalized prior (it constrains the OLD pose chain)
+                    self.inertial.prior_info = None
 
     def _need_new_kf(self, n_tracked: int, n_close_tracked: int = 10 ** 9,
                      n_close_free: int = 0) -> bool:
@@ -827,15 +1013,23 @@ class Tracker:
         if not (c1 or c2):
             return False
         # dynamic-scene veto: skip KF creation when >80% of the image is
-        # dynamic objects (reference: src/Tracking.cc:3273-3280). The device
-        # scalar is only pulled when a KF would actually be created.
-        if self.dynamic_ratio is not None and \
-                float(self.dynamic_ratio) > 0.8:
+        # dynamic objects (reference: src/Tracking.cc:3273-3280). The fused
+        # image path delivers the ratio on the host via the counts transfer
+        # (_host_dyn_ratio); other paths pull the device scalar, and only
+        # when a KF would actually be created.
+        dyn = self._host_dyn_ratio
+        if dyn is None and self.dynamic_ratio is not None:
+            dyn = float(self.dynamic_ratio)
+        if dyn is not None and dyn > 0.8:
             return False
         # capacity veto: a full keyframe table would silently overwrite the
-        # last slot (first_free_slot clamps). Checked last — the device pull
-        # only happens when a KF would actually be created.
-        if int(mstate.num_keyframes(self.st)) >= self.caps.K:
+        # last slot (first_free_slot clamps). The fused path's count is <=2
+        # frames stale — KFs are never minted back-to-back at the cap, so
+        # staleness cannot overflow the table.
+        n_kf = self._host_n_kf
+        if n_kf is None:
+            n_kf = int(mstate.num_keyframes(self.st))
+        if n_kf >= self.caps.K:
             return False
         return True
 

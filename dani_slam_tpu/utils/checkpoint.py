@@ -51,11 +51,20 @@ def load_map(path: str, expect_codebook=None):
     data = np.load(path)
     caps = mstate.MapCaps(*[int(x) for x in data["_caps"]])
     kwargs = {}
+    rebuild_bits = False
     for f in dataclasses.fields(mstate.MapState):
         if f.name == "caps":
             continue
+        if f.name == "lm_obs_bits" and f.name not in data:
+            # pre-bitmask checkpoint: rebuild from the obs table below
+            kwargs[f.name] = jnp.zeros(
+                (caps.L, (caps.K + 31) // 32), jnp.int32)
+            rebuild_bits = True
+            continue
         kwargs[f.name] = jnp.asarray(data[f.name])
     st = mstate.MapState(caps=caps, **kwargs)
+    if rebuild_bits:
+        st = mstate.rebuild_obs_bits(st)
     extras = {}
     if "_codebook" in data:
         extras["codebook"] = jnp.asarray(data["_codebook"])

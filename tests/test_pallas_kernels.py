@@ -29,8 +29,9 @@ def make_problem(M=300, N=700, D=64, seed=0):
 class TestWindowMatch:
     def test_matches_xla_oracle(self):
         args = make_problem()
-        b1, s1, i1 = pk.window_match_topk2(*args, 10.0, interpret=True)
-        b2, s2, i2 = pk.window_match_topk2_xla(*args, 10.0)
+        b1, s1, i1, cb1, ci1 = pk.window_match_topk2(*args, 10.0,
+                                                     interpret=True)
+        b2, s2, i2, cb2, ci2 = pk.window_match_topk2_xla(*args, 10.0)
         found1 = np.asarray(b1) < 1e8
         found2 = np.asarray(b2) < 1e8
         np.testing.assert_array_equal(found1, found2)
@@ -38,32 +39,51 @@ class TestWindowMatch:
                                       np.asarray(i2)[found1])
         np.testing.assert_allclose(np.asarray(b1)[found1],
                                    np.asarray(b2)[found1], atol=2e-2)
-        np.testing.assert_allclose(np.asarray(s1)[found1 & (np.asarray(s1) < 1e8)],
-                                   np.asarray(s2)[found1 & (np.asarray(s1) < 1e8)],
-                                   atol=2e-2)
+        sel = found1 & (np.asarray(s1) < 1e8)
+        np.testing.assert_allclose(np.asarray(s1)[sel],
+                                   np.asarray(s2)[sel], atol=2e-2)
+        # column-side (per-target) outputs agree with the oracle
+        cfound1 = np.asarray(cb1) < 1e8
+        cfound2 = np.asarray(cb2) < 1e8
+        np.testing.assert_array_equal(cfound1, cfound2)
+        np.testing.assert_array_equal(np.asarray(ci1)[cfound1],
+                                      np.asarray(ci2)[cfound1])
+        np.testing.assert_allclose(np.asarray(cb1)[cfound1],
+                                   np.asarray(cb2)[cfound1], atol=2e-2)
+
+    def test_col_outputs_multi_rowblock(self):
+        """Column accumulation must merge across >1 grid step (M > TM)."""
+        args = make_problem(M=2 * pk.TM + 17, N=300, seed=7)
+        *_, cb1, ci1 = pk.window_match_topk2(*args, 25.0, interpret=True)
+        *_, cb2, ci2 = pk.window_match_topk2_xla(*args, 25.0)
+        cf = np.asarray(cb2) < 1e8
+        np.testing.assert_array_equal(np.asarray(cb1) < 1e8, cf)
+        np.testing.assert_array_equal(np.asarray(ci1)[cf],
+                                      np.asarray(ci2)[cf])
 
     def test_planted_matches_found(self):
         q, qxy, qv, t, txy, tv = make_problem(M=128, N=256, seed=3)
         qv = jnp.ones(128, bool)
         tv = jnp.ones(256, bool)
-        b, s, i = pk.window_match_topk2(q, qxy, qv, t, txy, tv, 10.0,
-                                        interpret=True)
+        b, s, i, _, _ = pk.window_match_topk2(q, qxy, qv, t, txy, tv, 10.0,
+                                              interpret=True)
         k = 64
         hits = (np.asarray(i[:k]) == np.arange(k)) & (np.asarray(b[:k]) < 0.3)
         assert hits.mean() > 0.9
 
     def test_no_valid_targets(self):
         q, qxy, qv, t, txy, tv = make_problem(M=64, N=128)
-        b, s, i = pk.window_match_topk2(q, qxy, qv, t, txy,
-                                        jnp.zeros(128, bool), 10.0,
-                                        interpret=True)
+        b, s, i, cb, ci = pk.window_match_topk2(q, qxy, qv, t, txy,
+                                                jnp.zeros(128, bool), 10.0,
+                                                interpret=True)
         assert float(jnp.min(b)) >= 1e8
+        assert float(jnp.min(cb)) >= 1e8
 
     def test_per_query_radius(self):
         q, qxy, qv, t, txy, tv = make_problem(M=64, N=128, seed=4)
         r = jnp.full((64,), 0.001)   # vanishing windows: no matches
-        b, _, _ = pk.window_match_topk2(q, qxy, jnp.ones(64, bool), t, txy,
-                                        jnp.ones(128, bool), r,
-                                        interpret=True)
+        b, *_ = pk.window_match_topk2(q, qxy, jnp.ones(64, bool), t, txy,
+                                      jnp.ones(128, bool), r,
+                                      interpret=True)
         # planted targets are ~2px away, outside the 0.001 radius
         assert float(jnp.min(b)) >= 1e8
