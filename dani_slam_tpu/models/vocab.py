@@ -30,6 +30,32 @@ def random_codebook(key, n_words: int = 1024, dim: int = 256) -> jax.Array:
     return c / jnp.linalg.norm(c, axis=-1, keepdims=True)
 
 
+def load_default_codebook(dim: int = 256):
+    """Load the shipped pre-trained vocabulary (reference: the system loads
+    superpoint_voc.yml before tracking starts, src/System.cc:117-127).
+    Returns the [V,dim] codebook or None when absent / dim-mismatched
+    (synthetic-feature tests run D=64 and keep the self-training path)."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "superpoint_voc.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    cb = data["codebook"]
+    if cb.shape[1] != dim:
+        return None
+    if "sha" in data.files:
+        from dani_slam_tpu.utils.checkpoint import codebook_checksum
+        want = bytes(data["sha"]).decode()
+        got = codebook_checksum(cb)
+        if want != got:
+            raise ValueError(f"vocabulary checksum mismatch: {path}")
+    return jnp.asarray(cb)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def train_codebook(desc: jax.Array, mask: jax.Array, codebook0: jax.Array,
                    iters: int = 10) -> jax.Array:
@@ -164,15 +190,54 @@ def detect_candidates(bow_db: jax.Array, kf_mask: jax.Array,
 
 @partial(jax.jit, static_argnames=("n_best",))
 def detect_reloc_candidates(bow_db: jax.Array, kf_mask: jax.Array,
-                            query_bow: jax.Array, n_best: int = 5):
+                            query_bow: jax.Array, covis: jax.Array = None,
+                            n_best: int = 5):
     """Relocalization candidates (reference:
-    DetectRelocalizationCandidates KeyFrameDatabase.cc:735 — shared-word
-    gate, 0.8*max cut, accumulated score): dense tf-idf scoring + top-k
-    with a 0.8*best threshold mask."""
+    DetectRelocalizationCandidates KeyFrameDatabase.cc:735-858), the full
+    three-stage semantics:
+
+      1. shared-word gate: only keyframes sharing >= 0.8 * maxCommonWords
+         words with the query stay (KeyFrameDatabase.cc:778-790);
+      2. L1 tf-idf similarity on the survivors;
+      3. covisibility-group accumulation: each candidate's score is summed
+         over its covisible group, the group's BEST member represents it,
+         and groups below 0.75 * bestAccScore are cut
+         (KeyFrameDatabase.cc:810-858).
+
+    Dense TPU formulation: shared-word counts are one [K,V]x[V] matvec on
+    word-presence indicators; group accumulation is a masked [K,K] matmul
+    with the covisibility matrix. Returns (idx [n_best], accumulated
+    scores, keep mask). covis=None (feature-only callers) skips stage 3."""
     idf = idf_weights(bow_db, kf_mask)
     db_w = _tfidf_rows(bow_db, idf)
     q_w = _tfidf_rows(query_bow[None], idf)[0]
-    scores = jnp.where(kf_mask, bow_l1_score(db_w, q_w[None]), -1.0)
-    vals, idx = jax.lax.top_k(scores, n_best)
-    keep = vals >= 0.8 * vals[0]
+    # stage 1: shared-word count gate
+    shared = (bow_db > 0).astype(jnp.float32) @ (query_bow > 0).astype(
+        jnp.float32)                                    # [K]
+    shared = jnp.where(kf_mask, shared, 0.0)
+    min_common = 0.8 * jnp.max(shared)
+    gate = kf_mask & (shared >= jnp.maximum(min_common, 1.0))
+    # stage 2: L1 similarity of gated candidates
+    scores = jnp.where(gate, bow_l1_score(db_w, q_w[None]), 0.0)
+    if covis is None:
+        acc = jnp.where(gate, scores, -1.0)
+        vals, idx = jax.lax.top_k(acc, n_best)
+        keep = (vals >= 0.8 * vals[0]) & (vals > 0)
+        return idx.astype(jnp.int32), vals, keep
+    # stage 3: accumulate over covisible groups (>=10 shared observations,
+    # the reference's GetBestCovisibilityKeyFrames(10) neighborhood)
+    group = (covis > 10).astype(jnp.float32)
+    group = group.at[jnp.arange(group.shape[0]),
+                     jnp.arange(group.shape[0])].set(1.0)
+    acc = group @ scores                                # [K] group score
+    # each group is represented by its best-scoring member
+    member_best = jnp.max(jnp.where(group > 0, scores[None, :], -1.0),
+                          axis=1)
+    best_in_group = jnp.argmax(jnp.where(group > 0, scores[None, :], -1.0),
+                               axis=1)
+    acc = jnp.where(gate, acc, -1.0)
+    vals, gidx = jax.lax.top_k(acc, n_best)
+    idx = best_in_group[gidx]
+    keep = (vals >= 0.75 * vals[0]) & (vals > 0) & \
+        (member_best[gidx] > 0)
     return idx.astype(jnp.int32), vals, keep

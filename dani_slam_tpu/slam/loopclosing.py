@@ -320,11 +320,64 @@ def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10):
 # Relocalization (reference: Tracking::Relocalization src/Tracking.cc:3666)
 # ---------------------------------------------------------------------------
 
+def _reloc_refine(st: mstate.MapState, cam, kf, feat_xy, feat_desc,
+                  feat_valid, R0, t0, bind0, pnp_ok):
+    """Iterative relocalization refinement (reference:
+    src/Tracking.cc:3751-3835): pose-optimize the PnP solution, then a WIDE
+    (10 px) projection search over the candidate keyframe's landmarks for
+    additional matches + re-optimize, then a NARROW (3 px) pass + final
+    optimize. The reference runs the extra passes only when the inlier
+    count is short of 50; here both passes are always part of the one
+    fused program (masked work is cheap) and the final count gates
+    acceptance. The 50-inlier bar assumes the reference's ~1000-feature
+    budget; it scales with this frame's budget. Returns (R, t, bind,
+    n_good, ok)."""
+    from dani_slam_tpu.ops import solvers
+
+    N = feat_xy.shape[0]
+    obs = st.obs_lm[kf]
+    has = (obs >= 0) & st.kf_kp_mask[kf]
+    lm_ids = jnp.where(has, obs, 0)
+    pts_all = st.lm_pos[lm_ids]
+
+    def opt(R, t, bind):
+        has_b = bind >= 0
+        pts = st.lm_pos[jnp.where(has_b, bind, 0)]
+        out = solvers.pose_optimize(R, t, cam, pts, feat_xy,
+                                    has_b & feat_valid)
+        return out.R, out.t, jnp.where(out.inliers, bind, -1), out.n_inliers
+
+    def widen(R, t, bind, radius):
+        """Project candidate-KF landmarks, window-search UNBOUND keypoints
+        (reference SearchByProjection third overload, LGmatcher.cpp)."""
+        pc = jnp.einsum('ij,nj->ni', R, pts_all) + t
+        xy = _cam.project(cam, pc)
+        vis = has & (pc[:, 2] > 0.05)
+        ci, _, cok = matching.search_by_projection_bind(
+            xy, vis, st.lm_desc[lm_ids], feat_xy,
+            feat_valid & (bind < 0), feat_desc, radius=radius)
+        return jnp.where(bind >= 0, bind,
+                         jnp.where(cok, lm_ids[ci], -1))
+
+    R1, t1, bind1, _ = opt(R0, t0, bind0)
+    bind1w = widen(R1, t1, bind1, 10.0)
+    R2, t2, bind2, _ = opt(R1, t1, bind1w)
+    bind2n = widen(R2, t2, bind2, 3.0)
+    R3, t3, bind3, n3 = opt(R2, t2, bind2n)
+    th_accept = max(int(0.05 * N), 20)    # reference: nGood >= 50 @ ~1000
+    ok = pnp_ok & (n3 >= th_accept)
+    return R3, t3, bind3, n3, ok
+
+
 @jax.jit
 def relocalize_against_kf(st: mstate.MapState, cam, kf: jax.Array,
                           feat_xy, feat_desc, feat_valid, key):
-    """Match the lost frame against one candidate KF's landmarks and solve
-    PnP RANSAC. Returns (R, t, bindings, n_inliers, ok)."""
+    """Match the lost frame against one candidate KF's landmarks, solve
+    PnP RANSAC, then refine with the iterative wider-search passes
+    (reference: src/Tracking.cc:3666-3835). Returns (R, t, bindings,
+    n_inliers, ok)."""
+    from dani_slam_tpu.core import scatterless as sless
+
     obs = st.obs_lm[kf]
     has = (obs >= 0) & st.kf_kp_mask[kf]
     lm_ids = jnp.where(has, obs, 0)
@@ -337,21 +390,23 @@ def relocalize_against_kf(st: mstate.MapState, cam, kf: jax.Array,
     pts_w = st.lm_pos[lm_ids]
     obs_xy = feat_xy[m.idx]
     res = pnp.pnp_ransac(key, cam, pts_w, obs_xy, m.ok & has,
-                         min_inliers=25)
+                         min_inliers=15)
     # bindings for the frame
-    bind = jnp.full((feat_xy.shape[0],), -1, jnp.int32)
     okrow = m.ok & res.inliers
-    bind = bind.at[jnp.where(okrow, m.idx, feat_xy.shape[0] - 1)].max(
-        jnp.where(okrow, lm_ids, -1))
-    return res.R, res.t, bind, res.n_inliers, res.ok
+    bind = sless.id_max(m.idx, okrow, lm_ids, feat_xy.shape[0],
+                        jnp.asarray(-1, jnp.int32))
+    return _reloc_refine(st, cam, kf, feat_xy, feat_desc, feat_valid,
+                         res.R, res.t, bind, res.ok)
 
 
 def relocalize_against_kf_lightglue(st: mstate.MapState, cam, kf: jax.Array,
                                     feat_xy, feat_desc, feat_valid, key,
                                     matcher):
     """Relocalization matching via the learned LightGlue matcher instead of
-    mutual-NN (reference: Relocalization uses the LightGlue-BoW matcher,
-    src/Tracking.cc:3700; matcher = models/lightglue.MatcherState)."""
+    mutual-NN, then the same iterative wider-search refinement (reference:
+    Relocalization uses the LightGlue-BoW matcher, src/Tracking.cc:3700;
+    matcher = models/lightglue.MatcherState)."""
+    from dani_slam_tpu.core import scatterless as sless
     from dani_slam_tpu.models import lightglue as lg
     from dani_slam_tpu.ops import pnp
 
@@ -362,12 +417,12 @@ def relocalize_against_kf_lightglue(st: mstate.MapState, cam, kf: jax.Array,
                               has, feat_xy, feat_desc, feat_valid)
     pts_w = st.lm_pos[lm_ids]
     obs_xy = feat_xy[idx]
-    res = pnp.pnp_ransac(key, cam, pts_w, obs_xy, ok & has, min_inliers=25)
-    bind = jnp.full((feat_xy.shape[0],), -1, jnp.int32)
+    res = pnp.pnp_ransac(key, cam, pts_w, obs_xy, ok & has, min_inliers=15)
     okrow = ok & res.inliers
-    bind = bind.at[jnp.where(okrow, idx, feat_xy.shape[0] - 1)].max(
-        jnp.where(okrow, lm_ids, -1))
-    return res.R, res.t, bind, res.n_inliers, res.ok
+    bind = sless.id_max(idx, okrow, lm_ids, feat_xy.shape[0],
+                        jnp.asarray(-1, jnp.int32))
+    return _reloc_refine(st, cam, kf, feat_xy, feat_desc, feat_valid,
+                         res.R, res.t, bind, res.ok)
 
 
 def inertial_loop_gate(st: mstate.MapState, kf: int, cand: int, T12,
@@ -413,13 +468,21 @@ class LoopCloser:
                  run_gba: bool = True, fix_scale: bool = False):
         self.cam = cam
         key = jax.random.PRNGKey(seed)
-        self.codebook = (codebook if codebook is not None else
-                         vocab.random_codebook(key, 512, caps.D))
+        if codebook is None:
+            # shipped pre-trained vocabulary (reference loads
+            # superpoint_voc.yml before tracking, src/System.cc:117-127)
+            codebook = vocab.load_default_codebook(caps.D)
+            if codebook is not None:
+                self.codebook = codebook
+            else:
+                self.codebook = vocab.random_codebook(key, 512, caps.D)
+        else:
+            self.codebook = codebook
         self.bow = jnp.zeros((caps.K, self.codebook.shape[0]))
-        # live vocabulary: unless a pre-trained codebook was supplied
-        # (reference loads superpoint_voc.yml, src/System.cc:117-127), train
-        # spherical k-means on the map's own descriptors once enough
-        # keyframes exist, then rebuild the database rows
+        # live-vocabulary fallback: with no shipped/supplied codebook
+        # (e.g. synthetic-feature tests at D=64), train spherical k-means on
+        # the map's own descriptors once enough keyframes exist, then
+        # rebuild the database rows
         self._codebook_trained = codebook is not None
         self.train_codebook_after = 8
         self.key = key

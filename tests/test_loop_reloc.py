@@ -7,6 +7,9 @@ from dani_slam_tpu.core import cameras, state as mstate
 from dani_slam_tpu.slam.system import Sensor, System
 from dani_slam_tpu.utils import eval as ev
 from dani_slam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
 
 CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
 CAPS = mstate.MapCaps(K=64, L=8192, N=512, D=64)
@@ -48,6 +51,50 @@ class TestRelocalization:
         # ...but recovered afterwards with a correct pose
         assert states[-1] == "OK"
         assert errs and min(errs) < 0.1
+
+    def test_recovers_from_offset_viewpoint(self):
+        """Relocalization from a viewpoint well OFF the mapped trajectory:
+        the shared-word-gated covis-accumulated candidates + the iterative
+        wider-search second pass (reference: KeyFrameDatabase.cc:735-858 +
+        Tracking.cc:3751-3835) must recover where a single-shot match
+        against one keyframe's own landmarks falls short."""
+        from dani_slam_tpu.core import lie as lie_mod
+        world = synthetic.make_world(1500, desc_dim=64, seed=1)
+        R_gt, t_gt = synthetic.orbit_trajectory(60, radius=10.0,
+                                                angle_span=0.9)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512)
+        states = []
+        R0, t0 = np.asarray(R_gt[0]), np.asarray(t_gt[0])
+        errs = []
+        for i in range(40):
+            # map phase 0..19, blackout 20..25, then resume from a pose
+            # DISPLACED from anything mapped: the orbit poses 2x farther
+            # along than where mapping stopped (i=19 -> uses 38+)
+            j = i if i < 26 else 19 + 2 * (i - 25)
+            if 20 <= i < 26:
+                feat, _ = synthetic.render_frame(world, CAM, R_gt[j],
+                                                 t_gt[j], n_max=512,
+                                                 seed=7000 + i,
+                                                 with_depth=True,
+                                                 time=i / 30.0)
+                feat = feat._replace(valid=jnp.zeros_like(feat.valid))
+            else:
+                feat, _ = synthetic.render_frame(world, CAM, R_gt[j],
+                                                 t_gt[j], n_max=512,
+                                                 noise_px=0.3,
+                                                 seed=7000 + i,
+                                                 with_depth=True,
+                                                 time=i / 30.0)
+            s, R, t = sys.track_features(feat)
+            states.append(s)
+            if i >= 26 and s == "OK":
+                C_est = -np.asarray(R).T @ np.asarray(t)
+                C_gt = R0 @ (-np.asarray(R_gt[j]).T @ np.asarray(t_gt[j])) \
+                    + t0
+                errs.append(np.linalg.norm(C_est - C_gt))
+        assert "RECENTLY_LOST" in states[20:26] or "LOST" in states[20:26]
+        assert "OK" in states[26:], f"never relocalized: {states[26:]}"
+        assert errs and min(errs) < 0.15, f"reloc pose wrong: {errs}"
 
 
 class TestLoopClosing:
