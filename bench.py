@@ -1,10 +1,16 @@
 """Benchmark: end-to-end IMAGE-IN tracking FPS on the real device.
 
-The north-star workload (BASELINE.json): 640x480 grayscale images ->
-SuperPoint forward (256-D descriptors, N=1024 keypoints) -> full SLAM
-pipeline (tracking + keyframing + mapping + local BA) at >= 60 FPS on one
-TPU v5e chip — the analogue of TUM fr3_walking_xyz RGB-D playback
-(reference: Examples/RGB-D/rgbd_tum.cc main loop).
+The north-star workload (BASELINE.json): 640x480 RGB-D frames with a
+moving (dynamic) object -> YOLO dynamic masking -> SuperPoint forward
+(256-D descriptors, N=1024 keypoints) -> full SLAM pipeline (tracking +
+keyframing + mapping + local BA) at >= 60 FPS on one TPU v5e chip — the
+analogue of TUM fr3_walking_xyz RGB-D playback with dynamic-object
+suppression (reference: Examples/RGB-D/rgbd_tum.cc main loop +
+src/Tracking.cc:1534-1546 running YoloDetection on every RGB-D frame).
+
+Per frame the hot path is ONE XLA program (tracking.rgbd_frame_fused:
+detector -> frontend -> track -> velocity -> ref-pose), dispatched through
+System.track_rgbd.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline = measured_fps / 60.
@@ -13,6 +19,38 @@ from __future__ import annotations
 
 import json
 import time
+
+
+def _stamp_object(img, depth, cam_f, uv, z, wh_m, offsets, amps):
+    """Stamp the warm textured movable object (the shipped detector's
+    training appearance, models/yolo_train.py) onto an RGB frame."""
+    import numpy as np
+    H, W = img.shape[:2]
+    bw = wh_m[0] * cam_f / z
+    bh = wh_m[1] * cam_f / z
+    x1, y1 = uv[0] - bw / 2, uv[1] - bh / 2
+    x2, y2 = uv[0] + bw / 2, uv[1] + bh / 2
+    xi1, yi1 = max(int(x1), 0), max(int(y1), 0)
+    xi2, yi2 = min(int(x2), W), min(int(y2), H)
+    if xi2 - xi1 < 8 or yi2 - yi1 < 8:
+        return img, depth
+    tint = np.asarray([1.0, 0.55, 0.45]) * 0.55 * 255
+    img[yi1:yi2, xi1:xi2] = tint
+    # coherent blob texture that moves WITH the object — the case that
+    # poisons unmasked tracking (keypoints land on it and out-vote statics
+    # locally); the detector must suppress it inside the timed loop
+    yy, xx = np.mgrid[0:H, 0:W]
+    sx = bw / 100.0
+    for (ox, oy), a in zip(offsets, amps):
+        u, v = uv[0] + ox * sx, uv[1] + oy * sx
+        if not (3 < u < W - 4 and 3 < v < H - 4):
+            continue
+        du, dv = xx - u, yy - v
+        m = (np.abs(du) < 5) & (np.abs(dv) < 5)
+        g = a * np.exp(-(du ** 2 + dv ** 2) / (2 * 1.5 ** 2))
+        img[m] = np.maximum(img[m], (40 + g[m])[:, None] * np.ones((1, 3)))
+    depth[yi1:yi2, xi1:xi2] = z * 5000.0
+    return img, depth
 
 
 def main():
@@ -25,9 +63,10 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from dani_slam_tpu.core import cameras, state as mstate
+    from dani_slam_tpu.core import cameras, lie
+    from dani_slam_tpu.core import state as mstate
     from dani_slam_tpu.models import superpoint as sp_mod
-    from dani_slam_tpu.slam import frame as frame_mod
+    from dani_slam_tpu.models import yolo as yolo_mod
     from dani_slam_tpu.slam.system import Sensor, System
     from dani_slam_tpu.utils import synthetic
 
@@ -38,6 +77,8 @@ def main():
 
     sp_params = sp_mod.load_default_params()
     assert sp_params is not None, "shipped SuperPoint weights missing"
+    det = yolo_mod.load_default_detector()
+    assert det is not None, "shipped detector weights missing"
 
     # --- render the dataset (host, once) and pre-stage it in HBM ---------
     # points sampled inside the camera frustum along the sweep, at depths
@@ -69,31 +110,51 @@ def main():
         pts_list.append((Rj.T @ (pc - tj).T).T.astype(np.float32))
     pts = np.concatenate(pts_list, 0)
     bright = rng.uniform(150, 230, len(pts)).astype(np.float32)
+    # the movable object: a ~1.6x1.2 m warm textured board at ~4 m crossing
+    # the view laterally (the fr3_walking "person" analogue); blob texture
+    # gives the detector AND SuperPoint something to latch onto
+    obj_off = [(rng.uniform(-48, 48), rng.uniform(-33, 33))
+               for _ in range(40)]
+    obj_amp = [rng.uniform(150, 215) for _ in range(40)]
+    C0 = -np.asarray(R_gt[0]).T @ np.asarray(t_gt[0])
+    fwd0 = np.asarray(R_gt[0]).T @ np.asarray([0.0, 0.0, 1.0])
+    side0 = np.asarray(R_gt[0]).T @ np.asarray([1.0, 0.0, 0.0])
     imgs, deps = [], []
     for i in range(n_frames):
-        im, de = synthetic.render_image_depth(pts, bright, cam, R_gt[i],
-                                              t_gt[i], seed=i)
-        imgs.append(jax.device_put(jnp.asarray(im)))
-        deps.append(jax.device_put(jnp.asarray(de)))
+        gray, de = synthetic.render_image_depth(pts, bright, cam, R_gt[i],
+                                                t_gt[i], seed=i)
+        img = np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
+        de = de.astype(np.float32)
+        obj_w = C0 + fwd0 * 4.0 + side0 * (-1.8 + 0.07 * i)
+        pc = np.asarray(lie.se3_apply(R_gt[i], t_gt[i],
+                                      jnp.asarray(obj_w[None],
+                                                  jnp.float32)))
+        if pc[0, 2] > 0.5:
+            uv = np.asarray(cameras.project(cam, jnp.asarray(pc)))[0]
+            img, de = _stamp_object(img, de, 500.0, uv, pc[0, 2],
+                                    (1.6, 1.2), obj_off, obj_amp)
+        imgs.append(jax.device_put(jnp.asarray(
+            np.clip(img, 0, 255).astype(np.uint8))))
+        deps.append(jax.device_put(jnp.asarray(de.astype(np.uint16))))
     times = [jax.device_put(jnp.asarray(i / 30.0, jnp.float32))
              for i in range(n_frames)]
-    dfac = jax.device_put(jnp.asarray(5000.0, jnp.float32))
-    thr = jax.device_put(jnp.asarray(0.012, jnp.float32))
-    nobox = (jax.device_put(jnp.zeros((1, 4), jnp.float32)),
-             jax.device_put(jnp.zeros((1,), bool)))
 
     import os
     import sys as _sys
     debug = bool(os.environ.get("BENCH_DEBUG"))
 
+    def make_system():
+        sys = System(cam, Sensor.RGBD, caps=caps, sp_params=sp_params,
+                     n_features=n_feat, pipelined=True, detector=det)
+        sys.sp_threshold = 0.012
+        return sys
+
     def run_sequence(sys):
         n_ok = 0
         t_prev = time.perf_counter()
         for i in range(n_frames):
-            feat = frame_mod._frame_rgbd_program(
-                sp_params, imgs[i], deps[i], cam, times[i], dfac, thr,
-                nobox[0], nobox[1], n_max=n_feat, use_boxes=False)
-            state, _, _ = sys.track_features(feat)
+            state, _, _ = sys.track_rgbd(imgs[i], deps[i], i / 30.0,
+                                         time_dev=times[i])
             n_ok += state == "OK"
             if debug:
                 t_now = time.perf_counter()
@@ -105,33 +166,47 @@ def main():
         return n_ok
 
     # warmup pass: run the FULL sequence once so every program variant
-    # (frontend, init, track has_vel on/off, keyframe step with/without BA)
-    # compiles
-    sys = System(cam, Sensor.RGBD, caps=caps, sp_params=sp_params,
-                 n_features=n_feat, pipelined=True)
-    run_sequence(sys)
+    # (fused frame, init, track has_vel on/off, keyframe step with/without
+    # BA) compiles
+    run_sequence(make_system())
 
     # timed pass on a fresh system (all programs cached)
-    sys = System(cam, Sensor.RGBD, caps=caps, sp_params=sp_params,
-                 n_features=n_feat, pipelined=True)
+    sys = make_system()
     t0 = time.perf_counter()
     n_ok = run_sequence(sys)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
-    # honesty checks: the timed pass must have done REAL SLAM work
+    # honesty checks: the timed pass must have done REAL SLAM work and the
+    # detector must have seen the moving object inside the timed loop
     n_kf = int(np.asarray(sys.tracker.st.kf_mask).sum())
     n_lm = int(np.asarray(sys.tracker.st.lm_mask).sum())
+    dyn = float(np.asarray(sys.tracker.dynamic_ratio)) \
+        if sys.tracker.dynamic_ratio is not None else 0.0
     assert n_ok >= 0.85 * n_frames, f"only {n_ok}/{n_frames} frames tracked"
     assert n_kf >= 5 and n_lm >= 1000, (n_kf, n_lm)
+    assert dyn > 0.0, "detector never fired on the moving object"
     print(f"tracked {n_ok}/{n_frames} frames, {n_kf} keyframes, "
-          f"{n_lm} landmarks", file=_sys.stderr)
+          f"{n_lm} landmarks, detector-on (last dyn_ratio {dyn:.3f})",
+          file=_sys.stderr)
+
+    # optional per-stage device-time breakdown (reference REGISTER_TIMES
+    # analogue: TrackingTimeStats.txt / LocalMapTimeStats.txt / ExecMean.txt)
+    if os.environ.get("BENCH_STAGES"):
+        from dani_slam_tpu.utils import stage_profile
+        tt, mt = stage_profile.profile_rgbd_stages(
+            make_system(), imgs, deps, times)
+        stage_profile.save_stats(tt, mt, prefix="")
+        for name, s in {**tt.summary(), **mt.summary()}.items():
+            print(f"stage {name}: {s['mean_ms']:.2f} ms (n={s['count']})",
+                  file=_sys.stderr)
 
     print(json.dumps({
-        "metric": "tracking_fps_image_rgbd_640x480_sp1024",
+        "metric": "tracking_fps_image_rgbd_640x480_sp1024_yolo",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
+        "detector": True,
     }))
 
 

@@ -55,7 +55,8 @@ class System:
                  local_ba_every: int = 1, enable_loop_closing: bool = True,
                  enable_relocalization: bool = True,
                  pipelined: bool = False, detector=None, matcher="auto",
-                 imu_calib=None):
+                 imu_calib=None, n_levels: int = 1,
+                 scale_factor: float = 1.2):
         # TPU default matmul precision is bfloat16 passes — fine for the
         # nets (they cast to bf16 explicitly) but FATAL for the f32 SLAM
         # geometry: pose solves/triangulation degrade until tracking dies
@@ -73,9 +74,17 @@ class System:
                                         seed=seed, pipelined=pipelined)
         self.sp_params = sp_params
         self.n_features = n_features
+        # multi-level pyramid (reference mono configs run nLevels=8,
+        # Examples/Monocular/TUM1.yaml:43; RGB-D runs 1, TUM3.yaml:48) —
+        # octaves feed invSigma2 weighting and octave-scaled search radii
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
         self.enable_mapping = enable_mapping
         self.max_depth = max_depth
         self.local_ba_every = local_ba_every
+        # fuse/cull maintenance cadence (1 = reference behavior: every KF;
+        # 2 halves the average keyframe-program device time)
+        self.aux_every = 2
         self._kf_count = 0
         # deferred keyframe host pull (overlaps the keyframe program with
         # the next frame's host work; see _keyframe_step)
@@ -84,6 +93,11 @@ class System:
         # timestamp-jump guard (reference: src/Tracking.cc:1839-1875)
         self._last_ts = None
         self.max_time_jump = 1.0
+        # fused image-path constants (staged once; per-frame uploads through
+        # a remote transport are expensive)
+        self._frame_consts = None
+        self._scalar_cache = {}
+        self.sp_threshold = 0.007
         self.loop_closer = None
         # the LoopCloser owns the place-recognition database, which
         # relocalization also needs — create it for either feature and gate
@@ -147,22 +161,69 @@ class System:
         """Image in, T_cw out (reference: System::TrackMonocular
         src/System.cc:409)."""
         feat = build_frame_mono(self._sp(), img, self.cam, timestamp,
-                                n_max=self.n_features)
+                                n_max=self.n_features,
+                                threshold=self.sp_threshold,
+                                n_levels=self.n_levels,
+                                scale_factor=self.scale_factor)
         return self.track_features(feat, timestamp=timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float,
-                   depth_factor: float = 5000.0):
-        boxes = box_mask = None
-        dyn_ratio = None
-        if self.detector is not None:
-            boxes, box_mask, dyn_ratio = self.detector.dynamic_mask_inputs(
-                img)
-        feat = build_frame_rgbd(self._sp(), img, depth, self.cam, timestamp,
-                                depth_factor=depth_factor,
-                                n_max=self.n_features, boxes=boxes,
-                                box_mask=box_mask)
-        return self.track_features(feat, dyn_ratio=dyn_ratio,
-                                   timestamp=timestamp)
+                   depth_factor: float = 5000.0, time_dev=None):
+        """RGB-D image pair in, T_cw out. On the steady-state (OK) path the
+        whole frame — detector, frontend, tracking, velocity, ref-pose — is
+        ONE device program (tracking.rgbd_frame_fused); init/lost/inertial
+        frames fall back to the staged path inside track_image_rgbd.
+        time_dev: optional pre-staged device scalar of `timestamp` (avoids
+        a per-frame host->device upload through remote transports)."""
+        tr = self.tracker
+        tr.sp_params = self._sp()
+        # timestamp-jump detection (as in track_features)
+        if self._last_ts is not None and (
+                timestamp > self._last_ts + self.max_time_jump or
+                timestamp < self._last_ts):
+            if tr.state != tracking.NOT_INITIALIZED:
+                self._resolve_kf_pull()
+                self._new_map_in_atlas()
+        self._last_ts = timestamp
+        if self.use_imu:
+            # the image fused path doesn't carry IMU; route through the
+            # feature path for inertial sensors
+            boxes = box_mask = None
+            dyn_ratio = None
+            if self.detector is not None:
+                boxes, box_mask, dyn_ratio = \
+                    self.detector.dynamic_mask_inputs(img)
+            feat = build_frame_rgbd(self._sp(), img, depth, self.cam,
+                                    timestamp, depth_factor=depth_factor,
+                                    n_max=self.n_features, boxes=boxes,
+                                    box_mask=box_mask)
+            return self.track_features(feat, dyn_ratio=dyn_ratio,
+                                       timestamp=timestamp)
+        if self._frame_consts is None:
+            self._frame_consts = (
+                jax.device_put(jnp.zeros((1, 4), jnp.float32)),
+                jax.device_put(jnp.zeros((1,), bool)))
+        def staged(name, v):
+            key = (name, float(v))
+            if key not in self._scalar_cache:
+                self._scalar_cache[key] = jax.device_put(
+                    jnp.asarray(v, jnp.float32))
+            return self._scalar_cache[key]
+
+        state, R, t = tr.track_image_rgbd(
+            img, depth,
+            time_dev if time_dev is not None
+            else jnp.asarray(timestamp, jnp.float32),
+            staged("df", depth_factor), staged("th", self.sp_threshold),
+            self._frame_consts, detector=self.detector,
+            n_max=self.n_features)
+        if tr.pending_kf is not None and self.enable_mapping:
+            self._resolve_kf_pull()
+            self._keyframe_step()
+        if state == tracking.LOST and \
+                tr.frames_lost > self.lost_frames_before_new_map:
+            self._new_map_in_atlas()
+        return state, R, t
 
     def track_stereo(self, img_left, img_right, timestamp: float,
                      baseline: float, imu_window=None):
@@ -268,19 +329,25 @@ class System:
         do_ba = (self._kf_count % self.local_ba_every == 0
                  and self._kf_count > 1 and not imu_ready)
         mm = self.matcher
-        st, k, n_tracked = mapping.keyframe_step(
+        # fuse/cull maintenance alternates across keyframes (idempotent
+        # catch-up passes; see mapping.keyframe_step do_aux)
+        do_aux = (self._kf_count % self.aux_every == 0
+                  or self._kf_count <= 2)
+        st, k, n_tracked, chain = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
             bind, R_kf, t_kf, feat.time, jnp.asarray(fid),
             use_depth=tr.sensor in ("rgbd", "stereo"), do_ba=do_ba,
+            do_aux=do_aux,
             max_depth=self.max_depth, feat_octave=feat.octave_or_zeros(),
             matcher_model=mm.model if mm is not None else None,
-            matcher_params=mm.params if mm is not None else None)
+            matcher_params=mm.params if mm is not None else None,
+            chain=(tr.R, tr.t, tr.R_last, tr.t_last))
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
         # re-anchor the tracker's pose chain onto the BA-refined keyframe
-        # (reference: src/Tracking.cc:1909-1915); all device-side, no pull
-        tr.R, tr.t, tr.R_last, tr.t_last, cR, ct = tracking.reanchor_chain(
-            st, k, R_kf, t_kf, tr.R, tr.t, tr.R_last, tr.t_last)
+        # (reference: src/Tracking.cc:1909-1915) — computed inside the
+        # keyframe program; all device-side, no pull, no extra dispatch
+        tr.R, tr.t, tr.R_last, tr.t_last, cR, ct = chain
         # pipelined mode: pending rollback snapshots + deferred keyframe
         # poses must receive the same correction, or a rollback would undo
         # the re-anchoring
@@ -666,7 +733,8 @@ class System:
         w = vocab_mod.quantize(feat.desc, feat.valid, codebook)
         qbow = vocab_mod.bow_vector(w, codebook.shape[0])
         idx, vals, keep = vocab_mod.detect_reloc_candidates(
-            self.loop_closer.bow, tracker.st.kf_mask, qbow, n_best=3)
+            self.loop_closer.bow, tracker.st.kf_mask, qbow,
+            covis=tracker.st.covis, n_best=3)
         for rank in range(3):
             if not bool(keep[rank]):
                 continue

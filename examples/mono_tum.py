@@ -23,7 +23,9 @@ def main():
     settings = cfg.Settings.from_yaml(args.settings)
     sys_ = System(settings.camera(), Sensor.MONOCULAR,
                   caps=mstate.MapCaps(N=settings.n_features),
-                  n_features=settings.n_features, pipelined=True)
+                  n_features=settings.n_features, pipelined=True,
+                  n_levels=settings.n_levels,
+                  scale_factor=settings.scale_factor)
 
     frames = io_utils.load_tum_rgb_list(args.sequence)
     if args.max_frames:

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--viz", action="store_true")
     ap.add_argument("--detector", action="store_true",
                     help="enable YOLO dynamic masking")
+    ap.add_argument("--time-stats", action="store_true",
+                    help="per-stage device timing pass (reference "
+                    "REGISTER_TIMES): writes TrackingTimeStats.txt / "
+                    "LocalMapTimeStats.txt / ExecMean.txt with the "
+                    "decomposed stage costs")
     args = ap.parse_args()
 
     import jax
@@ -72,8 +77,23 @@ def main():
     pre = args.out_prefix
     io_utils.save_trajectory_tum(pre + "CameraTrajectory.txt",
                                  sys_.tracker.trajectory)
-    timer.save_means(pre + "ExecMean.txt")
-    timer.save_csv(pre + "TrackingTimeStats.txt")
+    if args.time_stats:
+        import jax.numpy as jnp
+        from dani_slam_tpu.utils import stage_profile
+        n = min(len(assoc), 30)
+        imgs = [jnp.asarray(rgb_pf.get(i)) for i in range(n)]
+        deps = [jnp.asarray(dep_pf.get(i)) for i in range(n)]
+        tdevs = [jnp.asarray(assoc[i][0], jnp.float32) for i in range(n)]
+        prof_sys = System(cam, Sensor.RGBD,
+                          caps=mstate.MapCaps(N=settings.n_features),
+                          n_features=settings.n_features,
+                          detector=detector, pipelined=True)
+        tt, mt = stage_profile.profile_rgbd_stages(prof_sys, imgs, deps,
+                                                   tdevs)
+        stage_profile.save_stats(tt, mt, prefix=pre)
+    else:
+        timer.save_means(pre + "ExecMean.txt")
+        timer.save_csv(pre + "TrackingTimeStats.txt")
     s = timer.summary().get("track", {})
     print(f"done: {len(assoc)} frames, mean track "
           f"{s.get('mean_ms', 0):.1f} ms "

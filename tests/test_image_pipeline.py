@@ -99,6 +99,49 @@ class TestImagePipeline:
         else:
             assert abs(C[0]) > 0.5 * abs(C[1]) or abs(C[0]) > 0.01
 
+    def test_mono_pyramid_e2e(self, scene):
+        """System-level multi-level pyramid (reference mono configs run
+        nLevels=8, Examples/Monocular/TUM1.yaml:43; SPextractor.cpp:115-127):
+        mono tracking at n_levels=8 must stay OK, produce a NON-ZERO octave
+        histogram (the octave machinery is fed real levels, not zeros), and
+        land the final pose within tolerance of the single-level run."""
+        from dani_slam_tpu.models import superpoint as sp_mod
+        pts, colors = scene
+        params = sp_mod.load_default_params()
+        if params is None:
+            pytest.skip("no shipped weights")
+        caps = mstate.MapCaps(K=32, L=4096, N=256, D=256)
+
+        def run(n_levels):
+            sys = System(CAM, Sensor.MONOCULAR, caps=caps, sp_params=params,
+                         n_features=256, enable_loop_closing=False,
+                         n_levels=n_levels)
+            sys.sp_threshold = 0.003
+            states, R, t = [], None, None
+            for i in range(10):
+                R_cw = jnp.eye(3)
+                t_cw = jnp.asarray([-0.12 * i, 0.0, 0.0], jnp.float32)
+                img, _ = render_image(pts, colors, R_cw, t_cw)
+                s, R, t = sys.track_monocular(img, i / 30.0)
+                states.append(s)
+            return sys, states, R, t
+
+        sys8, states8, R8, t8 = run(8)
+        assert states8.count("OK") >= 6, states8
+        # octave histogram: the map's keyframes carry non-zero octaves
+        oct_hist = np.asarray(sys8.map_state.kf_octave)[
+            np.asarray(sys8.map_state.kf_kp_mask &
+                       sys8.map_state.kf_mask[:, None])]
+        assert (oct_hist > 0).sum() > 0, "all octaves zero at n_levels=8"
+        # no gross accuracy regression vs single-level (mono scale is
+        # gauge-free: compare direction of motion only)
+        sys1, states1, R1, t1 = run(1)
+        C8 = -np.asarray(R8).T @ np.asarray(t8)
+        C1 = -np.asarray(R1).T @ np.asarray(t1)
+        d8 = C8 / max(np.linalg.norm(C8), 1e-9)
+        d1 = C1 / max(np.linalg.norm(C1), 1e-9)
+        assert d8 @ d1 > 0.95, (C8, C1)
+
     def test_mono_image_frames_have_features(self, scene):
         pts, colors = scene
         from dani_slam_tpu.slam.frame import build_frame_mono
