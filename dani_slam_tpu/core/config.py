@@ -97,6 +97,11 @@ class Settings:
     dist2: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
     k_equi2: tuple = (0.0, 0.0, 0.0, 0.0)
     stereo_t_c1_c2: Optional[tuple] = None   # 16 row-major (c1-from-c2)
+    # fisheye stereo lapping areas in pixels (reference:
+    # Camera1.overlappingBegin/End, Settings::readCamera1 src/Settings.cc;
+    # used by the stereo-fisheye Frame ctor, src/Frame.cc:968)
+    lapping1: tuple = (0.0, 1e9)
+    lapping2: tuple = (0.0, 1e9)
     depth_map_factor: float = 5000.0         # RGB-D (TUM3.yaml:35)
     th_depth: float = 40.0                   # far-point threshold
     # features (reference ORB section drives SPextractor thresholds,
@@ -157,6 +162,10 @@ class Settings:
         tc12 = g("Stereo.T_c1_c2")
         if tc12 is not None and len(tc12) == 16:
             s.stereo_t_c1_c2 = tuple(float(x) for x in tc12)
+        s.lapping1 = (float(g("Camera1.overlappingBegin", default=0.0)),
+                      float(g("Camera1.overlappingEnd", default=1e9)))
+        s.lapping2 = (float(g("Camera2.overlappingBegin", default=0.0)),
+                      float(g("Camera2.overlappingEnd", default=1e9)))
         s.baseline = float(g("Camera.bf", "Stereo.b", default=0.0))
         if g("Camera.bf") is not None:
             s.baseline = float(g("Camera.bf")) / s.fx

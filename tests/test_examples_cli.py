@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 SETTINGS = """%YAML:1.0
@@ -132,3 +134,116 @@ class TestStereoKittiCLI:
         traj = np.loadtxt(out + "CameraTrajectory.txt")
         # KITTI format: 12 numbers per row (3x4 pose)
         assert traj.shape[0] >= 4 and traj.shape[1] == 12
+
+
+TUMVI_SETTINGS = """%YAML:1.0
+Camera1.type: "KannalaBrandt8"
+Camera1.fx: 140.0
+Camera1.fy: 140.0
+Camera1.cx: 160.0
+Camera1.cy: 120.0
+Camera1.k0: 0.0034
+Camera1.k1: 0.0008
+Camera1.k2: 0.0
+Camera1.k3: 0.0
+Camera1.overlappingBegin: 0
+Camera1.overlappingEnd: 320
+Camera2.type: "KannalaBrandt8"
+Camera2.fx: 140.0
+Camera2.fy: 140.0
+Camera2.cx: 160.0
+Camera2.cy: 120.0
+Camera2.k0: 0.0034
+Camera2.k1: 0.0008
+Camera2.k2: 0.0
+Camera2.k3: 0.0
+Camera2.overlappingBegin: 0
+Camera2.overlappingEnd: 320
+Camera.width: 320
+Camera.height: 240
+Stereo.T_c1_c2: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.3,
+          0.0, 1.0, 0.0, 0.0,
+          0.0, 0.0, 1.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+ORBextractor.nFeatures: 256
+IMU.NoiseGyro: 0.00016
+IMU.NoiseAcc: 0.0028
+IMU.GyroWalk: 0.000022
+IMU.AccWalk: 0.00086
+IMU.Frequency: 200.0
+"""
+
+
+@pytest.fixture(scope="module")
+def tumvi_dataset(tmp_path_factory):
+    """Tiny TUM-VI mav0-format stereo-fisheye sequence: KB8 cameras,
+    lateral constant-velocity motion, gravity-only IMU."""
+    from dani_slam_tpu.core import cameras
+    seq = tmp_path_factory.mktemp("tumvi_mini")
+    for sub in ("cam0/data", "cam1/data", "imu0"):
+        os.makedirs(seq / "mav0" / sub)
+    rng = np.random.RandomState(6)
+    pts = rng.uniform(-4, 4, (400, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(2.5, 6, 400)
+    colors = rng.uniform(120, 215, 400).astype(np.float32)
+    cam = cameras.Camera.kb8(140.0, 140.0, 160.0, 120.0,
+                             0.0034, 0.0008, 0.0, 0.0, 320, 240)
+
+    def render_kb8(t_cw):
+        pc = np.asarray(pts) + np.asarray(t_cw)[None, :]
+        z = pc[:, 2]
+        uv = np.asarray(cameras.project(cam, jnp.asarray(pc, jnp.float32)))
+        vis = (z > 0.5) & (uv[:, 0] > 4) & (uv[:, 0] < 316) & \
+              (uv[:, 1] > 4) & (uv[:, 1] < 236)
+        img = np.full((240, 320), 40.0, np.float32)
+        yy, xx = np.mgrid[0:240, 0:320]
+        for i in np.argsort(-z):
+            if not vis[i]:
+                continue
+            du, dv = xx - uv[i, 0], yy - uv[i, 1]
+            m = (np.abs(du) < 6) & (np.abs(dv) < 6)
+            g = colors[i] * np.exp(-(du ** 2 + dv ** 2) / (2 * 2.0 ** 2))
+            img = np.where(m, np.maximum(img, 40 + g), img)
+        return img.astype(np.uint8)
+
+    rows0, rows1 = ["#t,fn"], ["#t,fn"]
+    for i in range(6):
+        ns = int(i / 10.0 * 1e9)
+        img_l = render_kb8([-0.06 * i, 0.0, 0.0])
+        img_r = render_kb8([-0.06 * i - 0.3, 0.0, 0.0])
+        write_pgm(str(seq / "mav0" / "cam0" / "data" / f"{ns}.png"),
+                  img_l, 255)
+        write_pgm(str(seq / "mav0" / "cam1" / "data" / f"{ns}.png"),
+                  img_r, 255)
+        rows0.append(f"{ns},{ns}.png")
+        rows1.append(f"{ns},{ns}.png")
+    (seq / "mav0" / "cam0" / "data.csv").write_text("\n".join(rows0))
+    (seq / "mav0" / "cam1" / "data.csv").write_text("\n".join(rows1))
+    # constant-velocity motion: gyro 0, accelerometer reads -g only
+    from dani_slam_tpu.ops import imu as imu_ops
+    g_meas = -np.asarray(imu_ops.G_VEC)
+    imu_rows = ["#t,wx,wy,wz,ax,ay,az"]
+    for k in range(120):
+        ns = int(k * 5e-3 * 1e9)
+        imu_rows.append(f"{ns},0,0,0,{g_meas[0]},{g_meas[1]},{g_meas[2]}")
+    (seq / "mav0" / "imu0" / "data.csv").write_text("\n".join(imu_rows))
+    (seq / "settings.yaml").write_text(TUMVI_SETTINGS)
+    return seq
+
+
+class TestStereoInertialTumViCLI:
+    def test_full_run(self, tumvi_dataset, tmp_path):
+        """KB8 fisheye stereo + IMU through the real runner (reference:
+        Examples/Stereo-Inertial/stereo_inertial_tum_vi.cc)."""
+        out = str(tmp_path) + "/"
+        r = run_cli([f"{REPO}/examples/stereo_inertial_tum_vi.py",
+                     str(tumvi_dataset / "settings.yaml"),
+                     str(tumvi_dataset), "--out-prefix", out])
+        assert r.returncode == 0, r.stderr[-800:]
+        # EuRoC trajectory format is CSV: t_ns,px,py,pz,qw,qx,qy,qz
+        traj = np.loadtxt(out + "CameraTrajectory.txt", delimiter=",")
+        assert traj.shape[0] >= 4 and traj.shape[1] == 8
