@@ -28,6 +28,14 @@ assert jax.device_count() == 8
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute e2e/CLI tests. Fast tier (<9 min, the CI-style "
+        "safety net): pytest tests/ -m 'not slow'; full suite: pytest "
+        "tests/ (split into 2-3 batches to stay under tight wall-clocks)")
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _bounded_compile_cache():
     """XLA:CPU segfaults (jax compiler backend_compile_and_load) on LARGE

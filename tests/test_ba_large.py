@@ -12,6 +12,9 @@ from test_ba import CAM, make_problem  # noqa: E402
 from dani_slam_tpu.core import lie  # noqa: E402
 from dani_slam_tpu.ops import ba as ba_ops  # noqa: E402
 from dani_slam_tpu.ops import ba_large  # noqa: E402
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
 
 
 class TestFullInertialBA:

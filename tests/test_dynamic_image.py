@@ -18,6 +18,8 @@ from dani_slam_tpu.models import yolo as yolo_mod
 from dani_slam_tpu.utils import eval as ev
 from dani_slam_tpu.utils import synthetic
 
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
+
 CAM = cameras.Camera.pinhole(300.0, 300.0, 160.0, 120.0, 320, 240)
 CAPS = mstate.MapCaps(K=32, L=4096, N=256, D=256)
 

@@ -16,6 +16,9 @@ from dani_slam_tpu.ops import imu as imu_ops
 from dani_slam_tpu.slam import inertial as inert
 from dani_slam_tpu.slam.system import Sensor, System
 from dani_slam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
 
 CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
 CAPS = mstate.MapCaps(K=64, L=8192, N=512, D=64)

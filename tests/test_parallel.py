@@ -7,6 +7,8 @@ import pytest
 from dani_slam_tpu.parallel import mesh as pmesh
 from dani_slam_tpu.parallel import train as ptrain
 
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
+
 
 class TestShardedBA:
     def test_matches_single_device(self):

@@ -9,6 +9,8 @@ from dani_slam_tpu.slam.system import Sensor, System
 from dani_slam_tpu.utils import eval as ev
 from dani_slam_tpu.utils import synthetic
 
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
+
 CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
 CAPS = mstate.MapCaps(K=64, L=8192, N=512, D=64)
 
