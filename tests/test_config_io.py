@@ -151,6 +151,7 @@ class TestViewer:
         assert os.path.getsize(p2) > 1000
 
 
+@pytest.mark.slow
 class TestSystemPersistence:
     def test_save_load_atlas_and_relocalize(self, tmp_path):
         """Build a small map, save, load into a fresh System, verify the

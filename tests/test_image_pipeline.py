@@ -11,6 +11,8 @@ from dani_slam_tpu.core import cameras, lie, state as mstate
 from dani_slam_tpu.slam.system import Sensor, System
 from dani_slam_tpu.utils import synthetic
 
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
+
 CAM = cameras.Camera.pinhole(300.0, 300.0, 160.0, 120.0, 320, 240)
 
 

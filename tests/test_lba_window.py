@@ -18,6 +18,9 @@ from dani_slam_tpu.core import cameras, lie, state as mstate
 from dani_slam_tpu.slam import mapping
 from dani_slam_tpu.slam.system import Sensor, System
 from dani_slam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
 
 CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
 CAPS = mstate.MapCaps(K=32, L=2048, N=192, D=64)

@@ -5,6 +5,7 @@ import numpy as np
 import optax
 
 from dani_slam_tpu.models import lightglue as lg
+import pytest
 
 RNG = np.random.RandomState(5)
 
@@ -52,6 +53,7 @@ class TestForward:
         assert int(ok.sum()) == 0
 
 
+@pytest.mark.slow
 class TestTraining:
     def test_overfits_identity_matching(self):
         """Train the tiny model to match identical descriptor sets; the

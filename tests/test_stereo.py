@@ -6,6 +6,9 @@ from dani_slam_tpu.core import cameras, lie, state as mstate
 from dani_slam_tpu.slam import frame as frame_mod
 from dani_slam_tpu.slam.system import Sensor, System
 from dani_slam_tpu.utils import synthetic
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
 
 CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
 BASELINE = 0.12

@@ -6,6 +6,9 @@ import numpy as np
 from dani_slam_tpu.core import cameras, lie
 from dani_slam_tpu.ops import imu as imu_ops
 from dani_slam_tpu.ops import viba
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier; fast tier runs -m 'not slow'
 
 CAM = cameras.Camera.pinhole(500.0, 500.0, 320.0, 240.0, 640, 480)
 CAL = imu_ops.ImuCalib.default()

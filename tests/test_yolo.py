@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dani_slam_tpu.models import yolo
+import pytest
 
 RNG = np.random.RandomState(31)
 
@@ -87,6 +88,7 @@ class TestAreaRatio:
 
 
 class TestDetector:
+    @pytest.mark.slow
     def test_end_to_end_shapes(self):
         det = yolo.Detector(width=8, input_hw=(96, 160))
         img = jnp.asarray(RNG.randint(0, 255, (240, 320, 3)), jnp.uint8)
@@ -101,6 +103,7 @@ class TestDetector:
         assert boxes.shape[0] == 32
 
 
+@pytest.mark.slow
 class TestDynamicIntegration:
     def test_kf_veto_on_dynamic_scene(self):
         """>80% dynamic coverage must suppress keyframe creation
