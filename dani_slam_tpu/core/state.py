@@ -318,6 +318,36 @@ def add_observations(st: MapState, kf: jax.Array, kp_idx: jax.Array,
         lm_obs_bits=bits)
 
 
+def add_observations_multi(st: MapState, kfs: jax.Array, kp_idx: jax.Array,
+                           lm_idx: jax.Array, valid: jax.Array) -> MapState:
+    """Bind observations in SEVERAL keyframes at once: keypoint kp_idx[i,j]
+    of keyframe kfs[i] observes landmark lm_idx[j] where valid[i,j].
+
+    Contract (the batched-triangulation caller satisfies both):
+    - kfs entries are distinct slots;
+    - each landmark j is bound by AT MOST ONE keyframe i (valid columns are
+      one-hot) — so observation counts/bits need no cross-i combining.
+
+    One fused update replaces n sequential add_observations chains (each a
+    cumsum/id_lookup pass over the whole landmark table)."""
+    nn, N = kp_idx.shape
+    lm_safe = jnp.where(lm_idx >= 0, lm_idx, 0)
+    rows = jax.vmap(
+        lambda kpi, v, old: sless.id_lookup(kpi, v, lm_safe, N, old)
+    )(kp_idx, valid, st.obs_lm[kfs])
+    any_v = jnp.any(valid, axis=0)                              # [N]
+    dn = sless.id_count(lm_safe, any_v, st.caps.L)
+    # observer bit per landmark: the ONE binding keyframe's bit word
+    kf_of_lm = jnp.take(kfs, jnp.argmax(valid, axis=0))         # [N]
+    words = jax.vmap(_kf_bit_words, in_axes=(0, None))(
+        kf_of_lm, st.lm_obs_bits.shape[1])                      # [N,W]
+    delta = sless.id_lookup(lm_safe, any_v, words, st.caps.L,
+                            jnp.zeros_like(st.lm_obs_bits))
+    return dataclasses.replace(
+        st, obs_lm=st.obs_lm.at[kfs].set(rows), lm_n_obs=st.lm_n_obs + dn,
+        lm_obs_bits=st.lm_obs_bits | delta)
+
+
 def cull_landmarks(st: MapState, kill: jax.Array) -> MapState:
     """Remove landmarks where kill[l] (reference: MapPoint::SetBadFlag +
     LocalMapping::MapPointCulling src/LocalMapping.cc:348)."""

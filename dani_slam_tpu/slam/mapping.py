@@ -38,8 +38,11 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
                          min_parallax_cos: float = 0.99995,
                          matcher_model=None, matcher_params=None):
     """Triangulate new landmarks between kf_new and its best covisible
-    neighbors. Static loop over n_neighbors; each pair does one dense mutual
-    matching + batched triangulation + masked insert.
+    neighbors — fully batched: match + triangulate + gate for ALL pairs at
+    once, pick one winning neighbor per keypoint, then ONE masked insert.
+    (The earlier per-neighbor loop paid n_neighbors sequential
+    insert_landmarks chains, each a cumsum-rank placement over L slots —
+    the dominant latency chain of the keyframe program.)
 
     When a trained LightGlue is supplied (matcher_model/params), the
     wide-baseline association runs through it instead of descriptor
@@ -47,97 +50,97 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
     (LGmatcher::SearchForTriangulation calls LightGlue per keyframe pair,
     src/LGmatcher.cpp:856-1095, forward at :983). All n_neighbors pairs run
     as ONE batched forward (the reference loops pairs on the GPU; batching
-    is the TPU-shaped equivalent)."""
-    neigh, w = mstate.best_covisible(st, kf_new, n_neighbors)
+    is the TPU-shaped equivalent). The reference binds each feature to at
+    most one new point (first pair wins, via the GetMapPoint guard in
+    CreateNewMapPoints); here the BEST-scoring pair wins — same invariant,
+    order-free."""
+    nn = n_neighbors
+    neigh, w = mstate.best_covisible(st, kf_new, nn)
 
     R1 = st.kf_R[kf_new]
     t1 = st.kf_t[kf_new]
     kp1 = st.kf_kp[kf_new]
     d1 = st.kf_desc[kf_new]
+    N = kp1.shape[0]
+    unb1 = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
+    unb2 = (st.obs_lm[neigh] < 0) & st.kf_kp_mask[neigh]       # [nn,N]
+    pair_ok = (w > 0) & st.kf_mask[neigh]                      # [nn]
 
-    lg_matches = None
     if matcher_model is not None:
         from dani_slam_tpu.models import lightglue as lg
-        unb1_0 = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
-        nn_ = n_neighbors
         idxb, scoreb, okb = lg.match_pairs(
             matcher_model, matcher_params,
-            jnp.broadcast_to(kp1, (nn_,) + kp1.shape),
-            jnp.broadcast_to(d1, (nn_,) + d1.shape),
-            jnp.broadcast_to(unb1_0, (nn_,) + unb1_0.shape),
-            st.kf_kp[neigh], st.kf_desc[neigh],
-            (st.obs_lm[neigh] < 0) & st.kf_kp_mask[neigh],
+            jnp.broadcast_to(kp1, (nn,) + kp1.shape),
+            jnp.broadcast_to(d1, (nn,) + d1.shape),
+            jnp.broadcast_to(unb1, (nn,) + unb1.shape),
+            st.kf_kp[neigh], st.kf_desc[neigh], unb2,
             cam.width, cam.height)
-        lg_matches = (idxb, scoreb, okb)
-
-    for i in range(n_neighbors):
-        kc = neigh[i]
-        pair_ok = (w[i] > 0) & st.kf_mask[kc]
-
-        unb1 = (st.obs_lm[kf_new] < 0) & st.kf_kp_mask[kf_new]
-        unb2 = (st.obs_lm[kc] < 0) & st.kf_kp_mask[kc]
-        kp2 = st.kf_kp[kc]
-        d2 = st.kf_desc[kc]
-        R2 = st.kf_R[kc]
-        t2 = st.kf_t[kc]
-
-        if lg_matches is not None:
-            idxb, scoreb, okb = lg_matches
-            # re-gate on the LIVE unbound masks: earlier neighbors in this
-            # loop may have bound some keypoints already
-            ok_i = okb[i] & unb1 & jnp.take(unb2, idxb[i])
-            m = matching.Matches(idxb[i], 1.0 - scoreb[i], ok_i)
-        else:
-            # mutual NN (no window: wide-baseline pairs)
+        quality = scoreb                                        # higher best
+    else:
+        # batched mutual NN (no window: wide-baseline pairs)
+        def one_nn(d2, u2):
             dmat = matching.desc_distance_matrix(d1, d2)
-            m = matching.masked_match(dmat, unb1[:, None] & unb2[None, :],
+            m = matching.masked_match(dmat, unb1[:, None] & u2[None, :],
                                       th=th_desc, mutual=True)
+            return m.idx, m.dist, m.ok
+        idxb, distb, okb = jax.vmap(one_nn)(st.kf_desc[neigh], unb2)
+        quality = -distb
 
+    # --- batched two-view triangulation + gates over all pairs -----------
+    r1 = _cam.unproject(cam, kp1)                               # [N,3]
+    R1i, t1i = lie.se3_inv(R1, t1)
+
+    def tri(R2, t2, kp2, idx):
         # relative pose: cam2-from-cam1
-        R21, t21 = lie.se3_mul(R2, t2, *lie.se3_inv(R1, t1))
-        r1 = _cam.unproject(cam, kp1)
-        r2_all = _cam.unproject(cam, kp2)
-        r2 = r2_all[m.idx]
-
-        X1 = _cam.triangulate_midpoint(r1, r2, R21, t21)  # in cam1 frame
-        z1 = X1[:, 2]
+        R21, t21 = lie.se3_mul(R2, t2, R1i, t1i)
+        r2 = _cam.unproject(cam, kp2)[idx]
+        X1 = _cam.triangulate_midpoint(r1, r2, R21, t21)        # cam1 frame
         X2 = lie.se3_apply(R21, t21, X1)
-        z2 = X2[:, 2]
         # reprojection checks in both views
         e1 = _cam.project(cam, X1) - kp1
-        e2 = _cam.project(cam, X2) - kp2[m.idx]
+        e2 = _cam.project(cam, X2) - kp2[idx]
         ok_rep = ((jnp.sum(e1 * e1, -1) < reproj_px ** 2 * CHI2_MONO) &
                   (jnp.sum(e2 * e2, -1) < reproj_px ** 2 * CHI2_MONO))
         # parallax
         C2 = -jnp.einsum('ji,j->i', R21, t21)
-        dir1 = X1
         dir2 = X1 - C2
-        cosp = jnp.einsum('ni,ni->n', dir1, dir2) / (
-            jnp.linalg.norm(dir1, axis=-1) *
+        cosp = jnp.einsum('ni,ni->n', X1, dir2) / (
+            jnp.linalg.norm(X1, axis=-1) *
             jnp.linalg.norm(dir2, axis=-1)).clip(1e-9)
-        good = (m.ok & pair_ok & (z1 > 0) & (z2 > 0) & ok_rep &
+        good = ((X1[:, 2] > 0) & (X2[:, 2] > 0) & ok_rep &
                 (cosp < min_parallax_cos))
+        return good, X1
 
-        # world position
-        Xw = lie.se3_apply(*lie.se3_inv(R1, t1), X1)
-        # camera center for normal/dist band
-        C1w = -jnp.einsum('ji,j->i', R1, t1)
-        vnorm = Xw - C1w
-        dist = jnp.linalg.norm(vnorm, axis=-1).clip(1e-9)
-        normal = vnorm / dist[:, None]
+    goodb, X1b = jax.vmap(tri)(st.kf_R[neigh], st.kf_t[neigh],
+                               st.kf_kp[neigh], idxb)           # [nn,N],...
+    goodb &= okb & pair_ok[:, None]
 
-        # lm_first_kf records the MONOTONE keyframe counter (not the slot:
-        # slots are reused after culling, which silently corrupts the
-        # recency gate in cull_bad_landmarks)
-        st, slots = mstate.insert_landmarks(
-            st, Xw, d1, normal, dist * 0.8, dist * 1.3,
-            jnp.full((kp1.shape[0],), kf_new, jnp.int32),
-            jnp.broadcast_to(st.next_kf_counter, (kp1.shape[0],)), good)
-        # bind observations in both keyframes
-        arange = jnp.arange(kp1.shape[0], dtype=jnp.int32)
-        bound = good & (slots >= 0)
-        st = mstate.add_observations(st, kf_new, arange, slots, bound)
-        st = mstate.add_observations(st, kc, m.idx, slots, bound)
+    # --- one winning neighbor per keypoint --------------------------------
+    q = jnp.where(goodb, quality, -jnp.inf)                     # [nn,N]
+    winner = jnp.argmax(q, axis=0)                              # [N]
+    win_ok = jnp.any(goodb, axis=0)
+    arange = jnp.arange(N, dtype=jnp.int32)
+    X1w = X1b[winner, arange]                                   # [N,3]
+
+    # world position + normal/dist band from the creating view
+    Xw = lie.se3_apply(R1i, t1i, X1w)
+    C1w = -jnp.einsum('ji,j->i', R1, t1)
+    vnorm = Xw - C1w
+    dist = jnp.linalg.norm(vnorm, axis=-1).clip(1e-9)
+    normal = vnorm / dist[:, None]
+
+    # lm_first_kf records the MONOTONE keyframe counter (not the slot:
+    # slots are reused after culling, which silently corrupts the
+    # recency gate in cull_bad_landmarks)
+    st, slots = mstate.insert_landmarks(
+        st, Xw, d1, normal, dist * 0.8, dist * 1.3,
+        jnp.full((N,), kf_new, jnp.int32),
+        jnp.broadcast_to(st.next_kf_counter, (N,)), win_ok)
+    bound = win_ok & (slots >= 0)
+    st = mstate.add_observations(st, kf_new, arange, slots, bound)
+    # neighbor-side observations: all nn keyframe rows in one update
+    sel = bound[None, :] & (winner[None, :] == jnp.arange(nn)[:, None])
+    st = mstate.add_observations_multi(st, neigh, idxb, slots, sel)
     return st
 
 

@@ -86,9 +86,10 @@ class System:
         # 2 halves the average keyframe-program device time)
         self.aux_every = 2
         self._kf_count = 0
-        # deferred keyframe host pull (overlaps the keyframe program with
-        # the next frame's host work; see _keyframe_step)
-        self._kf_pull = None
+        # deferred keyframe host pulls (overlap the keyframe program with
+        # subsequent frames' host work; see _keyframe_step/_resolve_kf_pull)
+        self._kf_pulls = []
+        self.kf_pull_depth = 2
         self.deferred_kf = True
         # timestamp-jump guard (reference: src/Tracking.cc:1839-1875)
         self._last_ts = None
@@ -130,7 +131,8 @@ class System:
         self.tracker.matcher = matcher
         # resolve deferred keyframe pulls right before any keyframe decision
         # (the decision needs the host-side ref_kf_tracked count)
-        self.tracker.pre_kf_decision = self._resolve_kf_pull
+        self.tracker.pre_kf_decision = (
+            lambda: self._resolve_kf_pull(force=False))
         # multi-map Atlas (reference: src/Atlas.cc; new map on unrecoverable
         # loss, Tracking::CreateMapInAtlas src/Tracking.cc:2682)
         from dani_slam_tpu.slam.atlas import Atlas
@@ -218,7 +220,7 @@ class System:
             self._frame_consts, detector=self.detector,
             n_max=self.n_features)
         if tr.pending_kf is not None and self.enable_mapping:
-            self._resolve_kf_pull()
+            self._resolve_kf_pull(force=False)
             self._keyframe_step()
         if state == tracking.LOST and \
                 tr.frames_lost > self.lost_frames_before_new_map:
@@ -280,7 +282,7 @@ class System:
                     (slot, fid, self._frame_marks.get(fid, 0)))
             self.tracker.init_kfs = None
         if (self.tracker.pending_kf is not None and self.enable_mapping):
-            self._resolve_kf_pull()   # previous KF's hooks run in order
+            self._resolve_kf_pull(force=False)   # pull queue stays bounded
             self._keyframe_step()
         if state == tracking.LOST and \
                 self.tracker.frames_lost > self.lost_frames_before_new_map:
@@ -291,6 +293,7 @@ class System:
         """Unrecoverable loss: stash the current map (if substantial) and
         start a fresh one (reference: CreateMapInAtlas src/Tracking.cc:2682;
         active-map reset when <10 KFs, src/Tracking.cc:2287-2306)."""
+        self._resolve_kf_pull()   # stale pulls reference the OLD map
         tr = self.tracker
         if self.n_keyframes() >= self.min_kfs_to_stash:
             bow = self.loop_closer.bow if self.loop_closer else None
@@ -364,16 +367,24 @@ class System:
                               (sR, st_, sRl, stl, svel, sst, slb, slf,
                                sltime, sinert)))
             tr._pending = fixed
-        # Defer the host pull of (slot, n_tracked) until the NEXT frame:
+        # Defer the host pull of (slot, n_tracked) by kf_pull_depth frames:
         # an immediate device_get stalls the host for the whole keyframe
         # program (plus one transport RTT) while the device then sits idle
         # waiting for the next frame's upload. The tracker keeps tracking
-        # against ref_kf_dev (device scalar), so nothing downstream needs
-        # the host values until the next keyframe decision. (The reference's
-        # analogue is the Tracking/LocalMapping thread handoff —
+        # against ref_kf_dev (device scalar) and the trajectory records the
+        # device slot, so nothing downstream needs the host values until the
+        # loop-closer hooks run at resolve time. (The reference's analogue
+        # is the Tracking/LocalMapping thread handoff —
         # LocalMapping::InsertKeyFrame returns immediately,
         # src/LocalMapping.cc:273-278.)
-        self._kf_pull = (k, n_tracked, fid)
+        tr.ref_kf_fid = fid           # host-known at dispatch
+        for a in (k, n_tracked):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._kf_pulls.append((k, n_tracked, fid, self._kf_count,
+                               tr.frame_id))
         if self.use_imu or self.atlas.n_maps() > 0 or not self.deferred_kf:
             self._resolve_kf_pull()   # inertial/merge paths need host ids now
         if self.use_imu:
@@ -388,24 +399,32 @@ class System:
             if self.tracker.inertial.initialized:
                 self._run_local_inertial_ba()
 
-    def _resolve_kf_pull(self):
-        """Pull the deferred keyframe ids and run the keyframe-rate hooks
-        that need host values (BoW/loop closing, map merge)."""
-        if self._kf_pull is None:
-            return
-        k, n_tracked, fid = self._kf_pull
-        self._kf_pull = None
+    def _resolve_kf_pull(self, force: bool = True):
+        """Pull deferred keyframe ids and run the keyframe-rate hooks that
+        need host values (BoW/loop closing, map merge).
+
+        Non-forced calls (the per-frame keyframe-decision hook) only resolve
+        pulls whose async transfers have had kf_pull_depth frames of head
+        start — by then the keyframe program has drained from the device
+        queue and the pull returns without stalling the host (the old
+        immediate device_get blocked the frame AFTER every keyframe for the
+        whole keyframe program, the dominant per-KF host stall). Forced
+        calls (merge/inertial/reset/shutdown paths) drain everything."""
         tr = self.tracker
-        k_host, n_host = jax.device_get((k, n_tracked))
-        tr.ref_kf = int(k_host)
-        tr.ref_kf_fid = fid
-        tr.ref_kf_tracked = int(n_host)
-        if self.loop_closer is not None:
-            tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
-                                                 kf_count=self._kf_count,
-                                                 kf_dev=tr.ref_kf_dev)
-        if self.atlas.n_maps() > 0:
-            self._try_map_merge()
+        while self._kf_pulls:
+            k, n_tracked, fid, kf_count, disp_fid = self._kf_pulls[0]
+            if not force and tr.frame_id - disp_fid <= self.kf_pull_depth:
+                break
+            self._kf_pulls.pop(0)
+            k_host, n_host = jax.device_get((k, n_tracked))
+            tr.ref_kf = int(k_host)
+            tr.ref_kf_tracked = int(n_host)
+            if self.loop_closer is not None:
+                tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
+                                                     kf_count=kf_count,
+                                                     kf_dev=k)
+            if self.atlas.n_maps() > 0:
+                self._try_map_merge()
 
     def _record_kf_preint(self):
         """Preintegrate the window since the previous keyframe and track the
@@ -729,6 +748,7 @@ class System:
         from dani_slam_tpu.slam import loopclosing as lc
         if self.loop_closer is None or self.n_keyframes() < 2:
             return None
+        self._resolve_kf_pull()   # reloc scores against the full BoW
         codebook = self.loop_closer.codebook
         w = vocab_mod.quantize(feat.desc, feat.valid, codebook)
         qbow = vocab_mod.bow_vector(w, codebook.shape[0])

@@ -636,7 +636,7 @@ class Tracker:
             # retroactively applies BA/loop corrections to every frame).
             R_ref, t_ref = _ref_pose(self.st, self.ref_kf_dev)
             self._traj_dev.append((feat.time, self.R, self.t, R_ref, t_ref,
-                                   self.ref_kf, self.ref_kf_fid))
+                                   self.ref_kf_dev, self.ref_kf_fid))
         return self.state, self.R, self.t
 
     def track_image_rgbd(self, img, depth_img, time_dev, depth_factor_dev,
@@ -698,7 +698,8 @@ class Tracker:
 
         self.frame_id += 1
         self._traj_dev.append((feat.time, self.R, self.t, ref_pose[0],
-                               ref_pose[1], self.ref_kf, self.ref_kf_fid))
+                               ref_pose[1], self.ref_kf_dev,
+                               self.ref_kf_fid))
         return self.state, self.R, self.t
 
     @property
@@ -711,6 +712,7 @@ class Tracker:
                  self.st.kf_frame_id, self.st.kf_mask))
             for (tm, R, t, R_ref, t_ref, slot, fid) in fetched:
                 R, t = np.asarray(R), np.asarray(t)
+                slot = int(slot)
                 if kf_mask[slot] and kf_fid[slot] == fid:
                     # T_cr = T_cw_track o inv(T_rw_track); T_cw = T_cr o T_rw_now
                     R_cr = R @ np.asarray(R_ref).T
@@ -888,7 +890,7 @@ class Tracker:
                 return
             self._apply_track(feat, R_new, t_new, bind, st)
             if self._need_new_kf(n, n_ct, n_cf):
-                self._create_kf(feat, bind)
+                self._create_kf(feat, bind, n_tracked_hint=n)
 
     def _apply_track(self, feat, R_new, t_new, bind, st, vel=None):
         self.st = st
@@ -959,7 +961,8 @@ class Tracker:
                 self._pending.clear()
                 self._on_lost(feat)
             elif self._need_new_kf(n, n_ct, n_cf):
-                self._create_kf(feat, bind, pose=frame_pose)
+                self._create_kf(feat, bind, pose=frame_pose,
+                                n_tracked_hint=n)
 
     def _on_lost(self, feat: FrameFeatures | None = None):
         self.frames_lost += 1
@@ -1033,12 +1036,18 @@ class Tracker:
             return False
         return True
 
-    def _create_kf(self, feat: FrameFeatures, bind: jax.Array, pose=None):
+    def _create_kf(self, feat: FrameFeatures, bind: jax.Array, pose=None,
+                   n_tracked_hint: int | None = None):
         """Record the pending keyframe; the System runs the fused
         insert+mapping program (slam/mapping.py keyframe_step). `pose` is
         the tracked pose OF THAT FRAME — in pipelined mode the tracker state
-        has advanced past it by the pipeline depth."""
+        has advanced past it by the pipeline depth. n_tracked_hint seeds
+        ref_kf_tracked with the decision-time inlier count so the keyframe
+        policy never waits on the deferred keyframe pull (the exact
+        sum(bind>=0) replaces it when the pull resolves)."""
         R_kf, t_kf = pose if pose is not None else (self.R, self.t)
+        if n_tracked_hint is not None:
+            self.ref_kf_tracked = int(n_tracked_hint)
         self.pending_kf = (feat, bind, R_kf, t_kf)
         self.last_kf_frame = self.frame_id
         self.new_kf = True
