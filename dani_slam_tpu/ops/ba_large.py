@@ -75,20 +75,13 @@ def _segsum(vals_sorted, starts, ends):
 # visual-only PCG bundle adjustment
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
-def ba_solve_pcg(R0, t0, pose_fixed, lm0, lm_valid, cam,
-                 obs_kf, obs_lm, obs_xy, obs_valid, obs_info=None,
-                 iters: int = 10, cg_iters: int = 40, robust: bool = True,
-                 huber_delta: float = CHI2_MONO ** 0.5) -> ba_ops.BAResult:
-    """Drop-in for ops/ba.ba_solve at map scale (same keyframe-major
-    observation layout: obs_kf == repeat(arange(P), N)). Memory is O(M)
-    instead of O(P*N*L)."""
-    P = R0.shape[0]
-    L = lm0.shape[0]
-    M = obs_kf.shape[0]
-    N = M // P
+def _make_pcg_iter(pose_fixed, lm_valid, cam, obs_kf, obs_lm, obs_xy,
+                   obs_valid, obs_info, P, L, M, N,
+                   cg_iters: int, robust: bool, delta: float):
+    """Build the (lm_iter, cost_of, base_valid) closures of the Schur-free
+    PCG LM solve over a fixed observation problem. Shared by the one-shot
+    ba_solve_pcg and the time-sliced ba_pcg_chunk (async GBA)."""
     info = jnp.ones(M) if obs_info is None else obs_info
-    delta = huber_delta
 
     obs_kf = jnp.where(obs_valid, obs_kf, 0)
     obs_lm_s = jnp.where(obs_valid, obs_lm, 0)
@@ -197,11 +190,52 @@ def ba_solve_pcg(R0, t0, pose_fixed, lm0, lm_valid, cam,
         lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e8)
         return (R, t, lm, lam)
 
+    return lm_iter, cost_of, base_valid
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
+def ba_solve_pcg(R0, t0, pose_fixed, lm0, lm_valid, cam,
+                 obs_kf, obs_lm, obs_xy, obs_valid, obs_info=None,
+                 iters: int = 10, cg_iters: int = 40, robust: bool = True,
+                 huber_delta: float = CHI2_MONO ** 0.5) -> ba_ops.BAResult:
+    """Drop-in for ops/ba.ba_solve at map scale (same keyframe-major
+    observation layout: obs_kf == repeat(arange(P), N)). Memory is O(M)
+    instead of O(P*N*L)."""
+    P = R0.shape[0]
+    L = lm0.shape[0]
+    M = obs_kf.shape[0]
+    N = M // P
+    lm_iter, cost_of, base_valid = _make_pcg_iter(
+        pose_fixed, lm_valid, cam, obs_kf, obs_lm, obs_xy, obs_valid,
+        obs_info, P, L, M, N, cg_iters, robust, huber_delta)
     carry = (R0, t0, lm0, jnp.asarray(1e-4))
     R, t, lm, _ = jax.lax.fori_loop(0, iters, lm_iter, carry)
     c, total = cost_of(R, t, lm)
     inlier = base_valid & (c <= CHI2_MONO)
     return ba_ops.BAResult(R, t, lm, inlier, total)
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
+def ba_pcg_chunk(carry, pose_fixed, lm_valid, cam,
+                 obs_kf, obs_lm, obs_xy, obs_valid, obs_info=None,
+                 iters: int = 2, cg_iters: int = 40, robust: bool = True,
+                 huber_delta: float = CHI2_MONO ** 0.5):
+    """Run `iters` LM iterations of the PCG solve and return the carry
+    (R, t, lm, lam) — the time-sliced global-BA step. The caller spreads a
+    full GBA across keyframe intervals instead of paying one
+    multi-hundred-ms program inline (the reference runs GBA on a concurrent
+    thread and aborts it on interruption, src/LoopClosing.cc:1199-1207
+    mbStopGBA; slicing is the single-device equivalent: bounded chunks
+    between frames, weld-back at the end)."""
+    R0, t0, lm0, lam = carry
+    P = R0.shape[0]
+    L = lm0.shape[0]
+    M = obs_kf.shape[0]
+    N = M // P
+    lm_iter, _, _ = _make_pcg_iter(
+        pose_fixed, lm_valid, cam, obs_kf, obs_lm, obs_xy, obs_valid,
+        obs_info, P, L, M, N, cg_iters, robust, huber_delta)
+    return jax.lax.fori_loop(0, iters, lm_iter, (R0, t0, lm0, lam))
 
 
 # ---------------------------------------------------------------------------

@@ -317,6 +317,98 @@ def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10):
 
 
 # ---------------------------------------------------------------------------
+# Time-sliced (async) global BA: the single-device equivalent of the
+# reference's CONCURRENT GBA thread (RunGlobalBundleAdjustment runs while
+# tracking/mapping continue; mbStopGBA aborts it; the result is welded back
+# with spanning-tree / reference-KF propagation, src/LoopClosing.cc:1199-1380)
+# ---------------------------------------------------------------------------
+
+def _gba_problem(st_snap: mstate.MapState):
+    """Observation problem of global_bundle_adjustment, factored so the
+    time-sliced chunks rebuild it identically each call."""
+    K, N = st_snap.obs_lm.shape
+    first = jnp.argmax(st_snap.kf_mask)
+    cov_row = jnp.where(st_snap.kf_mask, st_snap.covis[first],
+                        -1).at[first].set(-1)
+    second = jnp.argmax(cov_row)
+    pose_fixed = ((~st_snap.kf_mask) | (jnp.arange(K) == first) |
+                  ((jnp.arange(K) == second) & (cov_row[second] > 0)))
+    okf = jnp.repeat(jnp.arange(K), N)
+    olm = st_snap.obs_lm.reshape(-1)
+    oxy = st_snap.kf_kp.reshape(-1, 2)
+    ovalid = (olm >= 0) & st_snap.kf_kp_mask.reshape(-1)
+    obs_info = 1.2 ** (-2.0 *
+                       st_snap.kf_octave.reshape(-1).astype(jnp.float32))
+    return pose_fixed, okf, jnp.where(ovalid, olm, 0), oxy, ovalid, obs_info
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def gba_chunk(st_snap: mstate.MapState, cam, carry, iters: int = 2):
+    """Run `iters` LM iterations of global BA over the SNAPSHOT map and
+    return the updated carry (R, t, lm, lam). Bounded device time per call
+    (~iters x one PCG LM iteration) — dispatched between keyframes so a loop
+    closure never stalls the frame loop for a whole inline GBA."""
+    from dani_slam_tpu.ops import ba_large
+    pose_fixed, okf, olm, oxy, ovalid, obs_info = _gba_problem(st_snap)
+    return ba_large.ba_pcg_chunk(carry, pose_fixed, st_snap.lm_mask, cam,
+                                 okf, olm, oxy, ovalid, obs_info=obs_info,
+                                 iters=iters)
+
+
+@jax.jit
+def apply_gba(st: mstate.MapState, snap_kf_mask, snap_kf_fid, snap_lm_mask,
+              snap_lm_first, R_gba, t_gba, lm_gba, chain_ref):
+    """Weld a finished time-sliced GBA into the LIVE map (reference:
+    LoopClosing.cc:1240-1380 — participant keyframes take their GBA poses;
+    keyframes created DURING GBA are corrected through their spanning-tree
+    parent, T_child_w' = T_child_parent o T_parent_w'; map points take their
+    GBA positions or, if created during GBA, re-express through their
+    reference keyframe's correction).
+
+    Slot-reuse safety: a participant row must still hold the SAME keyframe
+    (kf_frame_id match) / landmark (lm_first_kf creation-counter match) —
+    culled-and-reused slots are treated as new. Returns (st', corr_R,
+    corr_t): the pose correction of `chain_ref` (old^-1 o new) for the
+    tracker's pose-chain re-anchoring."""
+    K = st.caps.K
+    part = snap_kf_mask & st.kf_mask & (st.kf_frame_id == snap_kf_fid)
+    R_new = jnp.where(part[:, None, None], R_gba, st.kf_R)
+    t_new = jnp.where(part[:, None], t_gba, st.kf_t)
+    corrected = part
+    # spanning-tree propagation to keyframes created during the GBA window
+    # (at most a handful per window; 3 passes cover child->grandchild chains)
+    for _ in range(3):
+        par = jnp.clip(st.spanning_parent, 0, K - 1)
+        fix = (st.spanning_parent >= 0) & st.kf_mask & ~corrected
+        fix &= jnp.take(corrected, par)
+        # T_child_parent from the LIVE (pre-weld) poses
+        Rp_old, tp_old = st.kf_R[par], st.kf_t[par]
+        Rrel = jnp.einsum('kij,klj->kil', st.kf_R, Rp_old)       # R Rp^T
+        trel = st.kf_t - jnp.einsum('kij,kj->ki', Rrel, tp_old)
+        Rc = jnp.einsum('kij,kjl->kil', Rrel, R_new[par])
+        tc = jnp.einsum('kij,kj->ki', Rrel, t_new[par]) + trel
+        R_new = jnp.where(fix[:, None, None], Rc, R_new)
+        t_new = jnp.where(fix[:, None], tc, t_new)
+        corrected |= fix
+    # landmarks: participants take GBA positions; new ones re-express
+    # through their (corrected) reference keyframe
+    lm_part = snap_lm_mask & st.lm_mask & (st.lm_first_kf == snap_lm_first)
+    ref = jnp.clip(st.lm_ref_kf, 0, K - 1)
+    ref_ok = st.lm_mask & ~lm_part & jnp.take(corrected, ref)
+    Xc = (jnp.einsum('lij,lj->li', st.kf_R[ref], st.lm_pos) +
+          st.kf_t[ref])                                          # old cam
+    Xw = jnp.einsum('lji,lj->li', R_new[ref], Xc - t_new[ref])   # new world
+    lm_new = jnp.where(lm_part[:, None], lm_gba,
+                       jnp.where(ref_ok[:, None], Xw, st.lm_pos))
+    # tracker chain correction: old_ref^-1 o new_ref
+    cR, ct = lie.se3_mul(*lie.se3_inv(st.kf_R[chain_ref],
+                                      st.kf_t[chain_ref]),
+                         R_new[chain_ref], t_new[chain_ref])
+    st2 = dataclasses.replace(st, kf_R=R_new, kf_t=t_new, lm_pos=lm_new)
+    return st2, cR, ct
+
+
+# ---------------------------------------------------------------------------
 # Relocalization (reference: Tracking::Relocalization src/Tracking.cc:3666)
 # ---------------------------------------------------------------------------
 
@@ -502,16 +594,61 @@ class LoopCloser:
         self._streak_cand = -1
         self._streak = 0
         self._pending_cand = None   # deferred loop-candidate pull
+        # time-sliced global BA (reference: concurrent GBA thread +
+        # mbStopGBA abort, src/LoopClosing.cc:1199-1207): chunks of
+        # gba_chunk_iters LM iterations run at subsequent keyframes instead
+        # of one inline multi-hundred-ms program; apply_gba welds the result
+        # back. gba_async=False restores the inline behavior.
+        self.gba_async = True
+        self.gba_chunk_iters = 2
+        self.gba_iters = 10
+        self._gba = None            # (snapshot MapState, carry, iters_done)
+        self.chain_corr = None      # set by apply_gba for the System
+
+    def _gba_step(self, st: mstate.MapState, chain_ref):
+        """Advance the time-sliced GBA by one chunk; weld back when done.
+        Sets self.chain_corr for the System's pose-chain re-anchoring."""
+        snap, carry, done = self._gba
+        if done < self.gba_iters:
+            carry = gba_chunk(snap, self.cam, carry,
+                              iters=self.gba_chunk_iters)
+            self._gba = (snap, carry, done + self.gba_chunk_iters)
+            return st
+        R, t, lm, _ = carry
+        st, cR, ct = apply_gba(st, snap.kf_mask, snap.kf_frame_id,
+                               snap.lm_mask, snap.lm_first_kf,
+                               R, t, lm, chain_ref)
+        self.chain_corr = (cR, ct)
+        self._gba = None
+        return st
+
+    def finish_gba(self, st: mstate.MapState, chain_ref):
+        """Drain a pending time-sliced GBA (shutdown/merge paths)."""
+        while self._gba is not None:
+            st = self._gba_step(st, chain_ref)
+        return st
+
+    def abort_gba(self):
+        """Drop a pending GBA (map reset/merge/new loop — the reference's
+        mbStopGBA / mnFullBAIdx invalidation)."""
+        self._gba = None
 
     def on_keyframe(self, st: mstate.MapState, kf: int,
-                    kf_count: int | None = None, kf_dev=None):
+                    kf_count: int | None = None, kf_dev=None,
+                    chain_ref=None):
         """Add KF to the database; attempt loop detection + correction.
         Returns (possibly corrected) state. kf_count lets the caller pass
         its host-side keyframe counter (avoids a device pull per KF);
         kf_dev the device-side slot scalar (avoids per-slot recompiles of
-        the BoW update and a scalar upload)."""
+        the BoW update and a scalar upload); chain_ref the tracker's current
+        reference-KF slot for the GBA chain correction."""
         if kf_dev is None:
             kf_dev = jnp.asarray(kf, jnp.int32)
+        self.chain_corr = None
+        if self._gba is not None:
+            st = self._gba_step(st,
+                                chain_ref if chain_ref is not None
+                                else kf_dev)
         if (not self._codebook_trained and kf_count is not None and
                 kf_count >= self.train_codebook_after):
             desc = st.kf_desc.reshape(-1, st.kf_desc.shape[-1])
@@ -577,7 +714,14 @@ class LoopCloser:
         st = search_and_fuse(st, self.cam, jnp.asarray(kf),
                              jnp.asarray(best))
         if self.run_gba:
-            st = global_bundle_adjustment(st, self.cam)
+            if self.gba_async:
+                # a NEW verified loop supersedes any in-flight GBA
+                # (reference: mnFullBAIdx bump aborts the running thread)
+                self.abort_gba()
+                carry = (st.kf_R, st.kf_t, st.lm_pos, jnp.asarray(1e-4))
+                self._gba = (st, carry, 0)
+            else:
+                st = global_bundle_adjustment(st, self.cam)
         self.last_loop_kf = kf_count
         self.n_loops += 1
         self._streak = 0

@@ -352,6 +352,46 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
                                obs_lm=obs_upd)
 
 
+@partial(jax.jit, static_argnames=("P_opt", "P_fix", "L_loc"))
+def lba_window_stats(st: mstate.MapState, center_kf: jax.Array,
+                     P_opt: int = 8, P_fix: int = 8, L_loc: int = 2048):
+    """Measure local-BA window coverage (how much the fixed-shape window
+    drops vs the reference's optimize-everything semantics,
+    src/Optimizer.cc:1116-1260). Returns int32 [4]:
+      [0] landmarks observed by the optimized-KF window,
+      [1] of those, landmarks admitted into the L_loc slots,
+      [2] window observations total,
+      [3] window observations retained after the landmark cap.
+    Mirrors local_bundle_adjustment's selection exactly (observation-count
+    ranking); used by tests and the stage profiler to keep the overflow
+    honest rather than silent."""
+    K, N = st.obs_lm.shape
+    wrow = jnp.where(st.kf_mask, st.covis[center_kf], -1).at[center_kf].set(-1)
+    top_idx = jnp.argsort(-wrow)[:P_opt - 1]
+    top_w = wrow[top_idx]
+    opt_idx = jnp.concatenate([center_kf[None], top_idx])
+    opt_real = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
+    opt_real &= st.kf_mask[opt_idx]
+
+    obs_w = st.obs_lm[opt_idx]
+    valid_w = (obs_w >= 0) & st.kf_kp_mask[opt_idx] & opt_real[:, None]
+    from dani_slam_tpu.core import scatterless as sless
+    win_cnt = sless.id_count(jnp.where(valid_w, obs_w, 0).reshape(-1),
+                             valid_w.reshape(-1), st.caps.L)
+    lm_sel = st.lm_mask & (win_cnt > 0)
+    lkey = jnp.where(lm_sel, win_cnt, -1)
+    loc_lm = jnp.argsort(-lkey)[:L_loc]
+    kept = jnp.zeros((st.caps.L,), bool).at[loc_lm].set(lm_sel[loc_lm])
+
+    n_window_lm = jnp.sum(lm_sel.astype(jnp.int32))
+    n_kept_lm = jnp.sum(kept.astype(jnp.int32))
+    obs_flat = jnp.where(valid_w, obs_w, 0).reshape(-1)
+    n_obs = jnp.sum(valid_w.astype(jnp.int32))
+    n_obs_kept = jnp.sum((valid_w.reshape(-1) &
+                          jnp.take(kept, obs_flat)).astype(jnp.int32))
+    return jnp.stack([n_window_lm, n_kept_lm, n_obs, n_obs_kept])
+
+
 # ---------------------------------------------------------------------------
 # Keyframe culling (reference: LocalMapping::KeyFrameCulling
 # src/LocalMapping.cc:904 — erase local keyframes whose landmarks are >=90%

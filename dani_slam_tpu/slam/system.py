@@ -306,6 +306,7 @@ class System:
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.last_loop_kf = -10 ** 9
             self.loop_closer._pending_cand = None
+            self.loop_closer.abort_gba()   # snapshot references the old map
         self._kf_count = 0
         if self.use_imu:
             self._kf_window_marks = []
@@ -351,22 +352,7 @@ class System:
         # (reference: src/Tracking.cc:1909-1915) — computed inside the
         # keyframe program; all device-side, no pull, no extra dispatch
         tr.R, tr.t, tr.R_last, tr.t_last, cR, ct = chain
-        # pipelined mode: pending rollback snapshots + deferred keyframe
-        # poses must receive the same correction, or a rollback would undo
-        # the re-anchoring
-        if tr._pending:
-            fixed = []
-            for (counts, pfeat, pbind, fpose, snap) in tr._pending:
-                fR, ft = tracking.apply_chain_correction(fpose[0], fpose[1],
-                                                         cR, ct)
-                (sR, st_, sRl, stl, svel, sst, slb, slf, sltime,
-                 sinert) = snap
-                sR, st_ = tracking.apply_chain_correction(sR, st_, cR, ct)
-                sRl, stl = tracking.apply_chain_correction(sRl, stl, cR, ct)
-                fixed.append((counts, pfeat, pbind, (fR, ft),
-                              (sR, st_, sRl, stl, svel, sst, slb, slf,
-                               sltime, sinert)))
-            tr._pending = fixed
+        self._correct_pending_chain(cR, ct)
         # Defer the host pull of (slot, n_tracked) by kf_pull_depth frames:
         # an immediate device_get stalls the host for the whole keyframe
         # program (plus one transport RTT) while the device then sits idle
@@ -399,6 +385,26 @@ class System:
             if self.tracker.inertial.initialized:
                 self._run_local_inertial_ba()
 
+    def _correct_pending_chain(self, cR, ct):
+        """Apply a map-frame pose correction to the in-flight pipeline:
+        pending rollback snapshots + deferred keyframe poses must receive
+        the same correction as the tracker chain, or a rollback would undo
+        a re-anchoring (keyframe-BA chain correction or GBA weld-back)."""
+        tr = self.tracker
+        if tr._pending:
+            fixed = []
+            for (counts, pfeat, pbind, fpose, snap) in tr._pending:
+                fR, ft = tracking.apply_chain_correction(fpose[0], fpose[1],
+                                                         cR, ct)
+                (sR, st_, sRl, stl, svel, sst, slb, slf, sltime,
+                 sinert) = snap
+                sR, st_ = tracking.apply_chain_correction(sR, st_, cR, ct)
+                sRl, stl = tracking.apply_chain_correction(sRl, stl, cR, ct)
+                fixed.append((counts, pfeat, pbind, (fR, ft),
+                              (sR, st_, sRl, stl, svel, sst, slb, slf,
+                               sltime, sinert)))
+            tr._pending = fixed
+
     def _resolve_kf_pull(self, force: bool = True):
         """Pull deferred keyframe ids and run the keyframe-rate hooks that
         need host values (BoW/loop closing, map merge).
@@ -420,9 +426,19 @@ class System:
             tr.ref_kf = int(k_host)
             tr.ref_kf_tracked = int(n_host)
             if self.loop_closer is not None:
-                tr.st = self.loop_closer.on_keyframe(tr.st, tr.ref_kf,
-                                                     kf_count=kf_count,
-                                                     kf_dev=k)
+                tr.st = self.loop_closer.on_keyframe(
+                    tr.st, tr.ref_kf, kf_count=kf_count, kf_dev=k,
+                    chain_ref=tr.ref_kf_dev)
+                if self.loop_closer.chain_corr is not None:
+                    # GBA weld-back moved the map under the tracker: apply
+                    # the reference-KF correction to the live pose chain
+                    cR, ct = self.loop_closer.chain_corr
+                    tr.R, tr.t = tracking.apply_chain_correction(
+                        tr.R, tr.t, cR, ct)
+                    tr.R_last, tr.t_last = tracking.apply_chain_correction(
+                        tr.R_last, tr.t_last, cR, ct)
+                    self._correct_pending_chain(cR, ct)
+                    self.loop_closer.chain_corr = None
             if self.atlas.n_maps() > 0:
                 self._try_map_merge()
 
@@ -690,6 +706,8 @@ class System:
         merged, new_ref = out["st"], out["new_active_kf"]
         kf_map, lm_map = out["kf_map"], out["lm_map"]
         cand_kf = out["cand_kf"]
+        if self.loop_closer is not None:
+            self.loop_closer.abort_gba()   # snapshot pre-dates the merge
         tr.st = merged
         tr.ref_kf = new_ref
         tr.ref_kf_fid = int(tr.st.kf_frame_id[new_ref])
@@ -789,6 +807,19 @@ class System:
         if (self.tracker.pending_kf is not None and self.enable_mapping):
             self._keyframe_step()
         self._resolve_kf_pull()
+        # drain a pending time-sliced GBA so saved maps/trajectories carry
+        # the final correction (the reference joins its GBA thread too)
+        if (self.loop_closer is not None and
+                self.loop_closer._gba is not None):
+            tr = self.tracker
+            tr.st = self.loop_closer.finish_gba(tr.st, tr.ref_kf_dev)
+            if self.loop_closer.chain_corr is not None:
+                cR, ct = self.loop_closer.chain_corr
+                tr.R, tr.t = tracking.apply_chain_correction(
+                    tr.R, tr.t, cR, ct)
+                tr.R_last, tr.t_last = tracking.apply_chain_correction(
+                    tr.R_last, tr.t_last, cR, ct)
+                self.loop_closer.chain_corr = None
 
     def save_trajectory_tum(self, path: str):
         """TUM format: time tx ty tz qx qy qz qw of T_wc (reference:

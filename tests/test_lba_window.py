@@ -94,3 +94,32 @@ class TestLbaWindowOverflow:
         err_before = np.linalg.norm(t_bad - t_true)
         err_after = np.linalg.norm(np.asarray(st2.kf_t[center]) - t_true)
         assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+class TestWindowCoverageMeasured:
+    def test_overflow_is_quantified_and_bounded(self):
+        """Round-2 review: 8 KFs x 192 keypoints against 512 landmark slots
+        makes overflow routine, and nothing measured the drop. Pin the
+        contract: the stats helper reports the exact coverage, and the
+        observation-count ranking keeps the multi-view-constrained majority
+        of window observations even when landmarks overflow the cap."""
+        sys = build_big_map()
+        st = sys.map_state
+        center = jnp.asarray(sys.tracker.ref_kf, jnp.int32)
+        # small cap to force overflow deterministically
+        stats = np.asarray(mapping.lba_window_stats(
+            st, center, P_opt=8, P_fix=8, L_loc=512))
+        n_lm, n_kept_lm, n_obs, n_obs_kept = (int(x) for x in stats)
+        assert n_lm > 512, f"window did not overflow ({n_lm} lms)"
+        assert n_kept_lm == 512
+        # ranked selection: kept landmarks carry MORE observations per
+        # landmark than the window average (multi-view points first)
+        assert n_obs_kept / 512 > n_obs / n_lm
+        # and the retained share is a majority of the window's constraints
+        assert n_obs_kept / n_obs > 0.5, (
+            f"only {n_obs_kept}/{n_obs} observations retained")
+        # at the production cap (L_loc=2048) this map fits entirely
+        stats_full = np.asarray(mapping.lba_window_stats(
+            st, center, P_opt=8, P_fix=8, L_loc=2048))
+        assert int(stats_full[1]) == min(n_lm, 2048)
+        assert int(stats_full[3]) == int(stats_full[2]) or n_lm > 2048
