@@ -13,9 +13,11 @@ candidate verification is one fused device program per candidate (landmark
 descriptor matching -> batched Horn Sim3 RANSAC -> GN refinement); loop
 correction transforms ALL keyframes/landmarks with gathered per-node
 corrections in one program, then runs the dense Sim3 pose-graph optimizer.
-Instead of a transient GBA thread, a bounded-iteration global BA program
-runs inline (the reference's thread exists to avoid blocking tracking; the
-two-rate loop schedules it explicitly).
+Instead of a transient GBA thread, global BA is TIME-SLICED: bounded
+chunks of LM iterations run over a map snapshot at subsequent keyframes and
+the result is welded back with spanning-tree/reference-KF propagation
+(gba_chunk/apply_gba) — the single-device equivalent of the reference's
+concurrent GBA + mbStopGBA abort.
 """
 from __future__ import annotations
 
@@ -29,6 +31,7 @@ import numpy as np
 from dani_slam_tpu.core import cameras as _cam
 from dani_slam_tpu.core import lie, state as mstate
 from dani_slam_tpu.models import vocab
+from dani_slam_tpu.utils import verbose
 from dani_slam_tpu.ops import ba as ba_ops
 from dani_slam_tpu.ops import matching, pnp, posegraph, sim3 as sim3_ops
 
@@ -615,6 +618,8 @@ class LoopCloser:
             self._gba = (snap, carry, done + self.gba_chunk_iters)
             return st
         R, t, lm, _ = carry
+        verbose.print_mess("LoopClosing: global BA finished, welding back",
+                           verbose.VERBOSE)
         st, cR, ct = apply_gba(st, snap.kf_mask, snap.kf_frame_id,
                                snap.lm_mask, snap.lm_first_kf,
                                R, t, lm, chain_ref)
@@ -709,6 +714,9 @@ class LoopCloser:
                 self._streak_cand = -1
                 return st          # BAD LOOP
 
+        verbose.print_mess(
+            f"LoopClosing: loop detected KF slot {kf} <-> {best} "
+            f"({int(n)} inliers), correcting")
         st = correct_loop(st, self.cam, jnp.asarray(kf), jnp.asarray(best),
                           T12, fix_scale=self.fix_scale, four_dof=four_dof)
         st = search_and_fuse(st, self.cam, jnp.asarray(kf),

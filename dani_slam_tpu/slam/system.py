@@ -21,6 +21,7 @@ from dani_slam_tpu.core import state as mstate
 from dani_slam_tpu.slam import mapping, tracking
 from dani_slam_tpu.slam.frame import (FrameFeatures, build_frame_mono,
                                       build_frame_rgbd)
+from dani_slam_tpu.utils import verbose
 
 
 class Sensor(enum.Enum):
@@ -295,6 +296,9 @@ class System:
         active-map reset when <10 KFs, src/Tracking.cc:2287-2306)."""
         self._resolve_kf_pull()   # stale pulls reference the OLD map
         tr = self.tracker
+        verbose.print_mess(
+            f"Atlas: unrecoverable loss at frame {tr.frame_id} — starting a "
+            f"new map ({self.n_keyframes()} KFs in the old one)")
         if self.n_keyframes() >= self.min_kfs_to_stash:
             bow = self.loop_closer.bow if self.loop_closer else None
             self.atlas.stash(tr.st, bow=bow)
@@ -708,6 +712,7 @@ class System:
         cand_kf = out["cand_kf"]
         if self.loop_closer is not None:
             self.loop_closer.abort_gba()   # snapshot pre-dates the merge
+        verbose.print_mess("Atlas: merged active map into a stored map")
         tr.st = merged
         tr.ref_kf = new_ref
         tr.ref_kf_fid = int(tr.st.kf_frame_id[new_ref])

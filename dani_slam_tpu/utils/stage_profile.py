@@ -48,6 +48,7 @@ def profile_rgbd_stages(sys, imgs, deps, times, n_warmup: int = 3,
     from dani_slam_tpu.slam import mapping, tracking
 
     tt, mt = StageTimer(), StageTimer()
+    lba_stats = []
     # each decomposed stage program compiles on its FIRST call (the frame
     # warmup does not cover keyframe-rate stages, whose first run lands at
     # the first keyframe) — discard every stage's first sample so means are
@@ -146,6 +147,11 @@ def profile_rgbd_stages(sys, imgs, deps, times, n_warmup: int = 3,
             t_all += dt
             if not warm:
                 rec(mt, "LBA", dt)
+                # LBA_Stats analogue: window landmark/observation coverage
+                # per solve (reference logs edges/KFs/MPs per LBA)
+                wl, kl, ob, obk = (int(x) for x in
+                                   mapping.lba_window_stats(st, k))
+                lba_stats.append((dt * 1e3, wl, kl, ob, obk))
             t0 = time.perf_counter()
             _sync(mapping.cull_bad_landmarks(st, st.next_kf_counter))
             dt = time.perf_counter() - t0
@@ -159,6 +165,7 @@ def profile_rgbd_stages(sys, imgs, deps, times, n_warmup: int = 3,
             if not warm:
                 rec(mt, "KF_culling", dt)
                 rec(mt, "Total_mapping", t_all)
+    tt.lba_stats = mt.lba_stats = lba_stats
     return tt, mt
 
 
@@ -168,6 +175,12 @@ def save_stats(tracking_timer: StageTimer, mapping_timer: StageTimer,
     LocalMapTimeStats.txt per-sample CSVs + ExecMean.txt summary)."""
     tracking_timer.save_csv(prefix + "TrackingTimeStats.txt")
     mapping_timer.save_csv(prefix + "LocalMapTimeStats.txt")
+    # per-LBA counts (reference: LBA_Stats.txt with edges/KFs/MPs per solve)
+    if getattr(mapping_timer, "lba_stats", None):
+        with open(prefix + "LBA_Stats.txt", "w") as f:
+            f.write("ms,window_lms,kept_lms,window_obs,kept_obs\n")
+            for row in mapping_timer.lba_stats:
+                f.write("%.3f,%d,%d,%d,%d\n" % row)
     both = StageTimer()
     for t in (tracking_timer, mapping_timer):
         for name, xs in t.samples.items():

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    from dani_slam_tpu.utils import verbose
+    verbose.set_verbosity(verbose.NORMAL)
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
     ap.add_argument("sequence")

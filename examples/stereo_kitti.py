@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from dani_slam_tpu.utils import verbose
+    verbose.set_verbosity(verbose.NORMAL)
     ap = argparse.ArgumentParser()
     ap.add_argument("settings")
     ap.add_argument("sequence", help="KITTI sequence dir (image_0/ image_1/"
