@@ -970,6 +970,25 @@ class Tracker:
             self.state = RECENTLY_LOST
         elif self.frames_lost > 20:
             self.state = LOST
+        # IMU coast: while RECENTLY_LOST with an initialized IMU the pose
+        # chain stays alive on pure inertial prediction — visual failure
+        # (blur/occlusion/blackout) does not freeze the trajectory, and the
+        # next good frame resumes from a predicted pose near the truth
+        # (reference: RECENTLY_LOST + IMU -> PredictStateIMU for up to
+        # time_recently_lost=5 s, src/Tracking.cc:2001-2033)
+        if (self.state == RECENTLY_LOST and self.inertial is not None and
+                self.inertial.initialized and
+                self.inertial.last_preint is not None):
+            from dani_slam_tpu.slam import inertial as inert
+            R_p, t_p, v_p = inert.predict_state_imu(
+                self.R, self.t, self.inertial.v_w,
+                self.inertial.last_preint, self.inertial.bias_g,
+                self.inertial.bias_a, self.inertial.calib.R_bc,
+                self.inertial.calib.t_bc)
+            self.R, self.t = R_p, t_p
+            self.R_last, self.t_last = R_p, t_p
+            self.inertial.v_w = v_p
+            self.vel = None
         # relocalization attempt (reference: RECENTLY_LOST branch runs
         # Relocalization each frame, src/Tracking.cc:2001-2035)
         if feat is not None and self.reloc_fn is not None:

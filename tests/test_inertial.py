@@ -210,3 +210,56 @@ class TestMarginalizedPrior:
         tr3 = float(np.trace(np.asarray(prior5)[6:9, 6:9]))
         tr10 = float(np.trace(np.asarray(prior10)[6:9, 6:9]))
         assert tr10 > tr3 * 1.02, (tr3, tr10)
+
+
+class TestImuCoastWhenLost:
+    def test_blackout_coasts_on_imu(self):
+        """Visual blackout while RECENTLY_LOST: with an initialized IMU the
+        pose chain must keep advancing on inertial prediction and the next
+        good frame must resume OK near the true pose (reference:
+        PredictStateIMU in the RECENTLY_LOST branch,
+        src/Tracking.cc:2001-2033)."""
+        world = synthetic.make_world(1500, desc_dim=64, seed=6)
+        accel = np.array([1.2, 0.0, 0.0])
+
+        def traj(t):
+            R_wb = np.eye(3)
+            C = np.array([0.0, 0.0, -10.0]) + 0.5 * accel * t * t
+            return R_wb, C, accel * t, accel, np.zeros(3)
+
+        fps = 10.0
+        sys = System(CAM, Sensor.IMU_RGBD, caps=CAPS, n_features=256,
+                     enable_loop_closing=False,
+                     enable_relocalization=False)  # isolate the coast path
+        sys.tracker.max_frames_between_kf = 4
+        blackout = range(32, 36)
+        states, errs = [], []
+        R0_wb, C0, _, _, _ = traj(0.0)
+        for i in range(42):
+            t = i / fps
+            R_wb, C, v, _, _ = traj(t)
+            R_cw = jnp.asarray(R_wb.T, jnp.float32)
+            t_cw = jnp.asarray(-R_wb.T @ C, jnp.float32)
+            feat, _ = synthetic.render_frame(world, CAM, R_cw, t_cw,
+                                             n_max=256, noise_px=0.3,
+                                             seed=i, with_depth=True,
+                                             time=t)
+            if i in blackout:
+                feat = feat._replace(valid=jnp.zeros_like(feat.valid))
+            win = imu_samples_between(traj, (i - 1) / fps, t) if i else None
+            s, R, tt = sys.track_features(feat, imu_window=win)
+            states.append(s)
+            C_est = -np.asarray(R).T @ np.asarray(tt)
+            C_gt_map = R0_wb.T @ (C - C0)
+            errs.append(np.linalg.norm(C_est - C_gt_map))
+        assert sys.tracker.inertial.initialized, "IMU never initialized"
+        assert "RECENTLY_LOST" in states[32:36], states[30:38]
+        # the coast kept the pose moving WITH the truth through the
+        # blackout: the sequence carries a slow baseline drift, so measure
+        # the blackout INCREMENT — a frozen pose would add
+        # |C(3.6s)-C(3.1s)| ~ 2.0 m at 1.2 m/s^2; the coast adds little
+        # more than the pre-blackout drift slope
+        added = errs[36] - errs[31]
+        assert added < 0.6, f"coast drifted: +{added:.2f} m {errs[30:38]}"
+        # recovery without relocalization, straight back to OK
+        assert states[-1] == "OK" and "OK" in states[36:39], states[30:]
