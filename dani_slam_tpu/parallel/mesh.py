@@ -34,6 +34,31 @@ def shard_landmarks(mesh: Mesh, lm_pos, lm_valid, axis: str = "data"):
     return jax.device_put(lm_pos, s), jax.device_put(lm_valid, s)
 
 
+def sharded_gba(mesh: Mesh, st, cam, iters: int = 10,
+                axis: str = "data"):
+    """Whole-map global BA with the landmark tables sharded over the mesh
+    (the SURVEY §2.4 "run GBA on a second chip" scaling path): lm_pos /
+    lm_mask are row-sharded, keyframe state is replicated, and GSPMD
+    partitions the Schur-free PCG solve (ops/ba_large.ba_solve_pcg) —
+    the per-landmark H_ll/g_l segment sums and the landmark
+    back-substitution run on the landmark shards; the [P,6] CG reductions
+    all-reduce over ICI. Returns the same BAResult as the single-device
+    loopclosing.global_bundle_adjustment solve."""
+    from dani_slam_tpu.ops import ba_large
+    from dani_slam_tpu.slam.loopclosing import _gba_problem
+
+    pose_fixed, okf, olm, oxy, ovalid, obs_info = _gba_problem(st)
+    lshard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    lm0 = jax.device_put(st.lm_pos, lshard)
+    lmv = jax.device_put(st.lm_mask, lshard)
+    with mesh:
+        return ba_large.ba_solve_pcg(
+            jax.device_put(st.kf_R, rep), jax.device_put(st.kf_t, rep),
+            pose_fixed, lm0, lmv, cam, okf, olm, oxy, ovalid,
+            obs_info=obs_info, iters=iters)
+
+
 def sharded_ba_solve(mesh: Mesh, *args, axis: str = "data", **kwargs):
     """ops/ba.ba_solve with the landmark dimension sharded over the mesh.
 

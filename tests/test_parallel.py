@@ -64,3 +64,30 @@ class TestShardedTraining:
     def test_mesh_shape(self):
         m = ptrain.make_mesh_2d(8)
         assert m.shape["data"] == 4 and m.shape["model"] == 2
+
+
+class TestShardedGBA:
+    def test_matches_single_device(self):
+        """Landmark-sharded whole-map PCG GBA == the single-device solve
+        (the SURVEY §2.4 'GBA on a second chip' scaling path)."""
+        import sys
+        sys.path.insert(0, "tests")
+        from test_loop_reloc import TestLoopClosing
+        from dani_slam_tpu.slam import loopclosing as lc
+
+        st, kf_ids, _, _ = TestLoopClosing()._drifted_loop_state(
+            K=8, drift=0.1)
+        ref = lc.global_bundle_adjustment(st, _cam_of(), iters=6)
+        m = pmesh.make_mesh(8)
+        out = pmesh.sharded_gba(m, st, _cam_of(), iters=6)
+        np.testing.assert_allclose(np.asarray(out.t)[np.asarray(st.kf_mask)],
+                                   np.asarray(ref.kf_t)[np.asarray(st.kf_mask)],
+                                   atol=1e-3)
+        lmm = np.asarray(st.lm_mask)
+        np.testing.assert_allclose(np.asarray(out.lm_pos)[lmm],
+                                   np.asarray(ref.lm_pos)[lmm], atol=1e-2)
+
+
+def _cam_of():
+    from test_loop_reloc import CAM
+    return CAM

@@ -8,6 +8,7 @@ import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -128,13 +129,16 @@ def main():
     kp1 = st2.kf_kp[k2]
     d1 = st2.kf_desc[k2]
     m1 = st2.kf_kp_mask[k2]
-    lg_fn = jax.jit(lambda: lg.match_pairs(
-        mm.model, mm.params, jnp.broadcast_to(kp1, (5,) + kp1.shape),
-        jnp.broadcast_to(d1, (5,) + d1.shape),
-        jnp.broadcast_to(m1, (5,) + m1.shape),
-        st2.kf_kp[neigh], st2.kf_desc[neigh], st2.kf_kp_mask[neigh],
-        cam.width, cam.height))
-    timeit("lightglue match_pairs (B=5)", lg_fn)
+    # args passed explicitly: a zero-arg closure would bake the big
+    # keypoint/descriptor arrays into the program as CONSTANTS, which blows
+    # past the remote-compile request size limit (HTTP 413) on the tunnel
+    lg_fn = jax.jit(partial(lg.match_pairs, mm.model,
+                            width=cam.width, height=cam.height))
+    timeit("lightglue match_pairs (B=5)", lg_fn,
+           mm.params, jnp.broadcast_to(kp1, (5,) + kp1.shape),
+           jnp.broadcast_to(d1, (5,) + d1.shape),
+           jnp.broadcast_to(m1, (5,) + m1.shape),
+           st2.kf_kp[neigh], st2.kf_desc[neigh], st2.kf_kp_mask[neigh])
 
     # track step for reference
     from dani_slam_tpu.slam import tracking as trk
