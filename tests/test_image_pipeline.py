@@ -101,6 +101,38 @@ class TestImagePipeline:
         else:
             assert abs(C[0]) > 0.5 * abs(C[1]) or abs(C[0]) > 0.01
 
+    def test_rgbd_image_tracking_pipelined(self, scene):
+        """The PIPELINED fused image path — the bench/production
+        configuration (one rgbd_frame_fused program per steady-state frame,
+        deferred lost/keyframe decisions, async keyframe pulls). Previously
+        only the TPU bench exercised it; this pins it on CPU so host-logic
+        regressions (pull queue, chain corrections, rollback snapshots)
+        are caught before a device run."""
+        pts, colors = scene
+        caps = mstate.MapCaps(K=32, L=4096, N=256, D=256)
+        sys = System(CAM, Sensor.RGBD, caps=caps, n_features=256,
+                     enable_loop_closing=False, pipelined=True)
+        states = []
+        for i in range(14):
+            R_cw = jnp.eye(3)
+            t_cw = jnp.asarray([-0.04 * i, 0.0, 0.0], jnp.float32)
+            img, depth = render_image(pts, colors, R_cw, t_cw)
+            s, R, t = sys.track_rgbd(img, depth, i / 30.0)
+            states.append(s)
+        sys.shutdown()
+        ok_frac = sum(1 for s in states if s == "OK") / len(states)
+        assert ok_frac >= 0.75, f"states={states}"
+        assert sys.n_keyframes() >= 2, "pipelined path minted no keyframes"
+        assert not sys._kf_pulls, "keyframe pulls left unresolved"
+        # trajectory export exercises the device-slot re-anchoring
+        traj = sys.tracker.trajectory
+        assert len(traj) >= 10
+        assert all(np.isfinite(t).all() for (_, R, t) in traj)
+        from dani_slam_tpu.models import superpoint as sp_mod
+        if sp_mod.load_default_params() is not None:
+            C = -traj[-1][1].T @ traj[-1][2]
+            assert np.linalg.norm(C - np.asarray([0.04 * 13, 0, 0])) < 0.12, C
+
     def test_mono_pyramid_e2e(self, scene):
         """System-level multi-level pyramid (reference mono configs run
         nLevels=8, Examples/Monocular/TUM1.yaml:43; SPextractor.cpp:115-127):
