@@ -151,7 +151,13 @@ class System:
             self._kf_window_marks = []   # (slot, frame_id, window idx) / KF
             self._recent_kfs = []        # temporal KF chain (slot, fid)
             self._recent_preints = []    # KF-to-KF preintegrations
-            self.vi_window = 8           # Nd (reference uses 10)
+            self.vi_window = 10          # Nd (reference Nd=10)
+            # bLarge variant: strong tracking widens the temporal window
+            # and shortens the LM budget (reference: 25 KFs x 4 iters when
+            # GetMatchesInliers()>75, src/Optimizer.cc:2387-2392 +
+            # src/LocalMapping.cc:150-151)
+            self.vi_window_large = 25
+            self.vi_large_tracked = 75
             # staged whole-map VI refinement (reference: VIBA1 at
             # mTinit>5s, VIBA2 at >15s, src/LocalMapping.cc:204-233)
             self._viba_stage = -1        # -1: not init; 0/1/2: stages done
@@ -458,7 +464,8 @@ class System:
             pre = None
         self._recent_kfs.append((marks[-1][0], marks[-1][1]))
         self._recent_preints.append(pre)
-        if len(self._recent_kfs) > self.vi_window:
+        buf = max(self.vi_window, self.vi_window_large)
+        if len(self._recent_kfs) > buf:
             self._recent_kfs.pop(0)
             self._recent_preints.pop(0)
 
@@ -510,7 +517,14 @@ class System:
         from dani_slam_tpu.slam import inertial_mapping
         import jax.tree_util as jtu
         tr = self.tracker
-        P = self.vi_window
+        # bLarge only once a FULL large window exists: on short maps a
+        # 25-slot window covers everything including the init keyframes,
+        # and the reduced iteration budget loses metric scale (the
+        # reference's bLarge maps are hundreds of KFs deep)
+        large = (tr.ref_kf_tracked > self.vi_large_tracked and
+                 len(self._recent_kfs) >= self.vi_window_large)
+        P = self.vi_window_large if large else self.vi_window
+        iters = 4 if large else 6
         slots = [k for k, _fid in self._recent_kfs[-P:]]
         pres = self._recent_preints[-P:]
         if len(slots) < 3:
@@ -529,7 +543,7 @@ class System:
         stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *pre_list)
         tr.st = inertial_mapping.local_inertial_ba(
             tr.st, self.cam, slot_arr, valid, stacked,
-            jnp.asarray(edge_ok), tr.inertial.calib)
+            jnp.asarray(edge_ok), tr.inertial.calib, iters=iters)
 
     def _maybe_initialize_imu(self):
         """Run gravity/scale init once enough keyframes + time accumulated
