@@ -123,6 +123,61 @@ def verify_cross_map_candidate(st_a: mstate.MapState, st_b: mstate.MapState,
     return (R, t, s), n, res.ok & (n >= min_inliers)
 
 
+@partial(jax.jit, static_argnames=("fix_scale", "n_window"))
+def refine_loop_from_hypothesis(st: mstate.MapState, cam,
+                                kf_new: jax.Array, kf_cand: jax.Array,
+                                T12, fix_scale: bool = False,
+                                min_inliers: int = 20, n_window: int = 4,
+                                radius: float = 8.0):
+    """Projection-guided re-verification of an EXISTING loop hypothesis at
+    a newer keyframe (reference: DetectAndReffineSim3FromLastKF,
+    src/LoopClosing.cc:376-430/536-578 — each temporal 'coincidence' is a
+    geometric hit through the propagated Sim3, not a fresh BoW match).
+
+    T12 = (R,t,s) maps candidate-camera coords into kf_new-camera coords
+    (the caller propagates the stored hypothesis through odometry).
+    Projects the candidate's covisible-window landmarks into kf_new via
+    T12, window-matches descriptors, then re-optimizes the Sim3 on pairs
+    whose kf_new keypoint is bound to a landmark. Returns (T12', n, ok)."""
+    lb, pb, _, has_b = _window_landmarks(st, kf_cand, cam, n_window)
+    R12, t12, s12 = T12
+    p_new = lie.sim3_apply(R12, t12, s12, pb)
+    px_new = _cam.project(cam, p_new)
+    vis = (has_b & (p_new[:, 2] > 0.2) &
+           (px_new[:, 0] >= 0) & (px_new[:, 1] >= 0) &
+           (px_new[:, 0] < cam.width) & (px_new[:, 1] < cam.height))
+    m = matching.search_by_projection(
+        px_new, vis, st.lm_desc[lb], st.kf_kp[kf_new],
+        st.kf_kp_mask[kf_new], st.kf_desc[kf_new], radius=radius)
+    # pairs where the matched kf_new keypoint is itself bound to a live
+    # landmark: both 3D sets exist, as OptimizeSim3 needs
+    obs_new = st.obs_lm[kf_new]
+    la = jnp.where(m.ok, obs_new[m.idx], 0)
+    pair_ok = m.ok & (obs_new[m.idx] >= 0) & st.lm_mask[la]
+    pa = lie.se3_apply(st.kf_R[kf_new], st.kf_t[kf_new], st.lm_pos[la])
+    pxa = st.kf_kp[kf_new][m.idx]
+    # candidate-side observed pixel: the window landmark's projection into
+    # the CANDIDATE keyframe (its own view)
+    pxb = _cam.project(cam, pb)
+    R, t, s, inl, n = sim3_ops.optimize_sim3(
+        cam, cam, R12, t12, s12, pa, pxa, pb, pxb, pair_ok,
+        fix_scale=fix_scale)
+    return (R, t, s), n, n >= min_inliers
+
+
+@jax.jit
+def propagate_hypothesis(st: mstate.MapState, kf_new: jax.Array,
+                         kf_prev: jax.Array, T12):
+    """Carry a loop hypothesis forward through odometry:
+    T_{new<-cand} = T_new_w o T_prev_w^-1 o T_{prev<-cand}
+    (reference: gScw propagation, src/LoopClosing.cc:383-397)."""
+    one = jnp.ones(())
+    Rr, tr_, sr = lie.sim3_mul(st.kf_R[kf_new], st.kf_t[kf_new], one,
+                               *lie.sim3_inv(st.kf_R[kf_prev],
+                                             st.kf_t[kf_prev], one))
+    return lie.sim3_mul(Rr, tr_, sr, *T12)
+
+
 @partial(jax.jit, static_argnames=("fix_scale",))
 def verify_loop_candidate(st: mstate.MapState, cam, kf_cur: jax.Array,
                           kf_cand: jax.Array, key, fix_scale: bool = False,
@@ -594,8 +649,9 @@ class LoopCloser:
         # over consecutive keyframes before correction —
         # mnLoopNumCoincidences >= 3, src/LoopClosing.cc:376-430)
         self.consistency_needed = 3
-        self._streak_cand = -1
-        self._streak = 0
+        # active loop hypothesis: (cand_slot, T12 new<-cand, hyp_kf_slot,
+        # n_coincidences) — re-verified geometrically at each keyframe
+        self._hyp = None
         self._pending_cand = None   # deferred loop-candidate pull
         # time-sliced global BA (reference: concurrent GBA thread +
         # mbStopGBA abort, src/LoopClosing.cc:1199-1207): chunks of
@@ -682,36 +738,49 @@ class LoopCloser:
         if prev is None:
             return st
         (idx, vals), kf = prev
-        best = int(idx[0])
-        if float(vals[0]) <= 0.0 or best == kf:
-            self._streak = 0
-            self._streak_cand = -1
-            return st
 
-        # temporal consistency: the same candidate (or its covisible
-        # neighborhood) must recur over consecutive keyframes
-        consistent = (self._streak_cand >= 0 and
-                      (best == self._streak_cand or
-                       bool(st.covis[best, self._streak_cand] > 10)))
-        self._streak = self._streak + 1 if consistent else 1
-        self._streak_cand = best
-        if self._streak < self.consistency_needed:
-            return st
-
-        self.key, sub = jax.random.split(self.key)
-        T12, n, ok = verify_loop_candidate(
-            st, self.cam, jnp.asarray(kf), jnp.asarray(best), sub,
-            min_inliers=self.min_inliers, fix_scale=self.fix_scale)
-        if not bool(ok):
-            return st
+        # existing hypothesis: re-verify GEOMETRICALLY at this keyframe by
+        # propagating the stored Sim3 through odometry and projecting the
+        # candidate window (reference: DetectAndReffineSim3FromLastKF,
+        # src/LoopClosing.cc:376-430 — each coincidence is a geometric hit)
+        if self._hyp is not None:
+            cand, T12_prev, kf_prev, n_coin = self._hyp
+            T12p = propagate_hypothesis(st, jnp.asarray(kf),
+                                        jnp.asarray(kf_prev), T12_prev)
+            T12r, n, ok = refine_loop_from_hypothesis(
+                st, self.cam, jnp.asarray(kf), jnp.asarray(cand), T12p,
+                fix_scale=self.fix_scale, min_inliers=self.min_inliers)
+            if not bool(ok):
+                self._hyp = None
+                return st
+            n_coin += 1
+            if n_coin < self.consistency_needed:
+                self._hyp = (cand, T12r, kf, n_coin)
+                return st
+            self._hyp = None
+            best, T12 = cand, T12r
+        else:
+            best = int(idx[0])
+            if float(vals[0]) <= 0.0 or best == kf:
+                return st
+            # fresh candidate: full Sim3 RANSAC verification opens a
+            # hypothesis (coincidence #1); correction waits for
+            # consistency_needed geometric hits in a row
+            self.key, sub = jax.random.split(self.key)
+            T12, n, ok = verify_loop_candidate(
+                st, self.cam, jnp.asarray(kf), jnp.asarray(best), sub,
+                min_inliers=self.min_inliers, fix_scale=self.fix_scale)
+            if not bool(ok):
+                return st
+            if self.consistency_needed > 1:
+                self._hyp = (best, T12, kf, 1)
+                return st
 
         four_dof = False
         if bool(st.imu_initialized):
             T12, four_dof, good = inertial_loop_gate(
                 st, kf, best, T12, ba2=bool(st.imu_ba2))
             if not good:
-                self._streak = 0
-                self._streak_cand = -1
                 return st          # BAD LOOP
 
         verbose.print_mess(
@@ -732,6 +801,4 @@ class LoopCloser:
                 st = global_bundle_adjustment(st, self.cam)
         self.last_loop_kf = kf_count
         self.n_loops += 1
-        self._streak = 0
-        self._streak_cand = -1
         return st

@@ -316,6 +316,7 @@ class System:
             self.loop_closer.bow = jnp.zeros_like(self.loop_closer.bow)
             self.loop_closer.last_loop_kf = -10 ** 9
             self.loop_closer._pending_cand = None
+            self.loop_closer._hyp = None
             self.loop_closer.abort_gba()   # snapshot references the old map
         self._kf_count = 0
         if self.use_imu:

@@ -478,3 +478,38 @@ class TestAsyncGBA:
         traj = sys.tracker.trajectory
         assert len(traj) >= 35
         assert all(np.isfinite(t).all() for (_, R, t) in traj)
+
+
+class TestHypothesisRefine:
+    def test_refine_from_previous_keyframe(self):
+        """DetectAndReffineSim3FromLastKF semantics: a hypothesis verified
+        at one keyframe is propagated through odometry to the NEXT keyframe
+        and re-verified by guided projection + Sim3 re-optimization
+        (reference: src/LoopClosing.cc:376-430/536-578)."""
+        from dani_slam_tpu.core import lie
+        from dani_slam_tpu.slam import loopclosing as lc
+        st, kf_ids, (R_gt, t_gt), _ = TestLoopClosing()._drifted_loop_state()
+        cand = jnp.asarray(kf_ids[0])
+        prev = jnp.asarray(kf_ids[-2])
+        cur = jnp.asarray(kf_ids[-1])
+        # hypothesis opened at the second-to-last keyframe
+        T12, n0, ok0 = lc.verify_loop_candidate(
+            st, CAM, prev, cand, jax.random.PRNGKey(0), fix_scale=True,
+            min_inliers=20)
+        assert bool(ok0)
+        # propagate through odometry and refine at the last keyframe
+        T12p = lc.propagate_hypothesis(st, cur, prev, T12)
+        T12r, n, ok = lc.refine_loop_from_hypothesis(
+            st, CAM, cur, cand, T12p, fix_scale=True, min_inliers=20)
+        assert bool(ok), f"refine failed: {int(n)} inliers"
+        assert int(n) >= 20
+        # the refined Sim3 closes the loop as well as a fresh verification
+        def last_kf_err(state):
+            k = kf_ids[-1]
+            C_est = -np.asarray(state.kf_R[k]).T @ np.asarray(state.kf_t[k])
+            C_gt = -np.asarray(R_gt[-1]).T @ np.asarray(t_gt[-1])
+            return np.linalg.norm(C_est - C_gt)
+        before = last_kf_err(st)
+        st2 = lc.correct_loop(st, CAM, cur, cand, T12r, fix_scale=True)
+        after = last_kf_err(st2)
+        assert after < before * 0.2, f"{before=:.3f} {after=:.3f}"
