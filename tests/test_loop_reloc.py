@@ -513,3 +513,43 @@ class TestHypothesisRefine:
         st2 = lc.correct_loop(st, CAM, cur, cand, T12r, fix_scale=True)
         after = last_kf_err(st2)
         assert after < before * 0.2, f"{before=:.3f} {after=:.3f}"
+
+
+class TestEmergentLoopDetection:
+    def test_on_keyframe_detects_and_corrects(self):
+        """The WHOLE loop-closing pipeline driven through on_keyframe on a
+        deterministic drifted loop map: BoW candidate -> Sim3 hypothesis ->
+        geometric re-verification over consecutive keyframes -> correction
+        -> time-sliced GBA chunks -> weld-back (reference:
+        LoopClosing::Run end-to-end, src/LoopClosing.cc:91-320)."""
+        from dani_slam_tpu.slam.loopclosing import LoopCloser
+        st, kf_ids, (R_gt, t_gt), _ = \
+            TestLoopClosing()._drifted_loop_state(K=16)
+        lc = LoopCloser(CAM, CAPS, seed=0, min_kf_gap=6, fix_scale=True)
+        lc.train_codebook_after = 6
+        lc.gba_chunk_iters = 2
+        lc.gba_iters = 4
+
+        def errs_of(state):
+            errs = []
+            for i, k in enumerate(kf_ids):
+                C_est = -np.asarray(state.kf_R[k]).T @ np.asarray(
+                    state.kf_t[k])
+                C_gt = -np.asarray(R_gt[i]).T @ np.asarray(t_gt[i])
+                errs.append(np.linalg.norm(C_est - C_gt))
+            return np.asarray(errs)
+
+        before = errs_of(st)
+        for count, k in enumerate(kf_ids, start=1):
+            st = lc.on_keyframe(st, k, kf_count=count)
+        st = lc.finish_gba(st, jnp.asarray(kf_ids[-1]))
+        assert lc.n_loops == 1, f"loops detected: {lc.n_loops}"
+        assert lc._hyp is None
+        after = errs_of(st)
+        # the loop END must snap shut; mid-chain drift only redistributes
+        # (its exact split is sensitive to f32 reduction order across
+        # CPU-device configs), so gate the mean loosely
+        assert after[-1] < before[-1] * 0.3, (
+            f"loop end not closed: {before[-1]:.3f} -> {after[-1]:.3f}")
+        assert after.mean() < before.mean(), (
+            f"{before.mean()=:.3f} {after.mean()=:.3f}")
