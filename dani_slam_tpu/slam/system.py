@@ -806,7 +806,7 @@ class System:
                     tracker.st, self.cam, idx[rank], feat.xy, feat.desc,
                     feat.valid, sub)
             if bool(ok):
-                return R, t, bind
+                return R, t, bind, int(idx[rank])
         return None
 
     # -- misc public API --------------------------------------------------

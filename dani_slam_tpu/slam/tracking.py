@@ -994,7 +994,7 @@ class Tracker:
         if feat is not None and self.reloc_fn is not None:
             out = self.reloc_fn(self, feat)
             if out is not None:
-                R, t, bind = out
+                R, t, bind, reloc_kf = out
                 self.state = OK
                 self.frames_lost = 0
                 self.R, self.t = R, t
@@ -1002,6 +1002,13 @@ class Tracker:
                 self.vel = None
                 self.last_feat = feat
                 self.last_bind = bind
+                # re-anchor the tracker to the keyframe that relocalized us
+                # (reference: Relocalization sets mpReferenceKF; without it
+                # the ref-KF fallback searches a stale, possibly distant KF)
+                if reloc_kf is not None:
+                    self.ref_kf = int(reloc_kf)
+                    self.ref_kf_dev = jnp.asarray(self.ref_kf, jnp.int32)
+                    self.ref_kf_fid = int(self.st.kf_frame_id[self.ref_kf])
                 if self.inertial is not None:
                     # a relocalization jump invalidates the carried
                     # marginalized prior (it constrains the OLD pose chain)
