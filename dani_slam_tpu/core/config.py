@@ -126,6 +126,38 @@ class Settings:
     lightglue_weights: Optional[str] = None
     yolo_weights: Optional[str] = None
 
+    def __str__(self):
+        """Readable multi-line summary (reference: Settings::operator<<
+        prints camera/image/feature/IMU sections at startup,
+        src/Settings.cc end + System.cc:87)."""
+        L = ["SLAM settings:"]
+        L.append(f"\t-Camera 1: fx={self.fx} fy={self.fy} "
+                 f"cx={self.cx} cy={self.cy} type={self.camera_type}")
+        if any(self.dist):
+            L.append(f"\t-Distortion: {tuple(self.dist)}")
+        if any(self.k_equi):
+            L.append(f"\t-KannalaBrandt8 k: {tuple(self.k_equi)}")
+        L.append(f"\t-Image size: {self.width}x{self.height} "
+                 f"fps={self.fps}")
+        if self.baseline:
+            L.append(f"\t-Stereo baseline: {self.baseline}")
+        L.append(f"\t-RGB-D: depth factor={self.depth_map_factor} "
+                 f"ThDepth={self.th_depth}")
+        L.append(f"\t-Features: {self.n_features} "
+                 f"(thresholds {self.ini_th}/{self.min_th}, "
+                 f"{self.n_levels} levels x{self.scale_factor})")
+        if self.imu_tbc is not None:
+            L.append(f"\t-IMU: freq={self.imu_frequency} "
+                     f"noise g/a={self.imu_noise_gyro}/{self.imu_noise_acc} "
+                     f"walk g/a={self.imu_walk_gyro}/{self.imu_walk_acc}, "
+                     f"Tbc set")
+        for name in ("load_atlas", "save_atlas", "superpoint_weights",
+                     "lightglue_weights", "yolo_weights"):
+            v = getattr(self, name)
+            if v:
+                L.append(f"\t-{name}: {v}")
+        return "\n".join(L)
+
     @staticmethod
     def from_yaml(path_or_text: str) -> "Settings":
         d = parse_opencv_yaml(path_or_text)

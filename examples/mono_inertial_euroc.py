@@ -32,6 +32,7 @@ def main():
     from dani_slam_tpu.utils import io as io_utils
 
     settings = cfg.Settings.from_yaml(args.settings)
+    verbose.print_mess(str(settings))
     cam = settings.camera()
     sensor = Sensor.MONOCULAR if args.no_imu else Sensor.IMU_MONOCULAR
     sys_ = System(cam, sensor,

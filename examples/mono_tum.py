@@ -23,6 +23,7 @@ def main():
     from dani_slam_tpu.utils import io as io_utils
 
     settings = cfg.Settings.from_yaml(args.settings)
+    verbose.print_mess(str(settings))
     sys_ = System(settings.camera(), Sensor.MONOCULAR,
                   caps=mstate.MapCaps(N=settings.n_features),
                   n_features=settings.n_features, pipelined=True,

@@ -44,6 +44,7 @@ def main():
     from dani_slam_tpu.utils import io as io_utils, timing
 
     settings = cfg.Settings.from_yaml(args.settings)
+    verbose.print_mess(str(settings))
     cam = settings.camera()
     detector = None
     if args.detector:

@@ -30,6 +30,7 @@ def main():
     from dani_slam_tpu.utils import io as io_utils
 
     settings = cfg.Settings.from_yaml(args.settings)
+    verbose.print_mess(str(settings))
     # EuRoC ships UNRECTIFIED stereo: build the remap grids once (reference:
     # Settings M1l/... + cv::remap at src/System.cc:262-279)
     rectifier = settings.stereo_rectifier()

@@ -39,6 +39,7 @@ def main():
     from dani_slam_tpu.utils import io as io_utils
 
     settings = cfg.Settings.from_yaml(args.settings)
+    verbose.print_mess(str(settings))
     cam_l = settings.camera()
     cam_r = settings.camera2()
     assert cam_r is not None and settings.stereo_t_c1_c2 is not None, \

@@ -29,6 +29,7 @@ def main():
     from dani_slam_tpu.utils.native import ImagePrefetcher
 
     settings = cfg.Settings.from_yaml(args.settings)
+    verbose.print_mess(str(settings))
     cam = settings.camera()
     sys_ = System(cam, Sensor.STEREO,
                   caps=mstate.MapCaps(N=settings.n_features),
