@@ -191,7 +191,9 @@ def create_depth_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
 @partial(jax.jit, static_argnames=("n_neighbors",))
 def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
                         n_neighbors: int = 5, radius: float = 3.0):
-    """Project kf_new's landmarks into neighbor KFs; bind to unassociated
+    """Both fuse directions of the reference's SearchInNeighbors
+    (src/LocalMapping.cc:716-900): project kf_new's landmarks into neighbor
+    KFs AND the neighbors' landmarks back into kf_new; bind to unassociated
     keypoints that match (duplicate merging is handled implicitly: if the
     target keypoint already observes another landmark we leave it — full
     replace logic comes with loop closing)."""
@@ -202,22 +204,47 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
     lm_pos = st.lm_pos[lm_ids]
     lm_desc = st.lm_desc[lm_ids]
     base_mask = has_lm & st.lm_mask[lm_ids]
+    pair_ok = (w > 0) & st.kf_mask[neigh]                      # [nn]
 
-    # batched projection + window match over all neighbors (reads only;
-    # the per-neighbor observation writes stay sequential below)
-    def one(kc, w_i):
-        pair_ok = (w_i > 0) & st.kf_mask[kc]
+    # forward: batched projection + window match over all neighbors (reads
+    # only; the per-neighbor observation writes stay sequential below)
+    def one(kc, ok_i):
         xy, vis, _, _ = matching.project_landmarks(
-            st.kf_R[kc], st.kf_t[kc], cam, lm_pos, base_mask & pair_ok)
+            st.kf_R[kc], st.kf_t[kc], cam, lm_pos, base_mask & ok_i)
         unb = (st.obs_lm[kc] < 0) & st.kf_kp_mask[kc]
         m = matching.fuse_candidates(xy, vis, lm_desc, st.kf_kp[kc], unb,
                                      st.kf_desc[kc], radius=radius)
         return m.idx, m.ok
 
-    idxs, oks = jax.vmap(one)(neigh, w)
+    idxs, oks = jax.vmap(one)(neigh, pair_ok)
     for i in range(n_neighbors):
         st = mstate.add_observations(st, neigh[i], idxs[i], lm_ids, oks[i])
-    return st
+
+    # reverse: the neighbors' landmarks projected into kf_new — binds the
+    # new keyframe's still-unbound keypoints to EXISTING map points before
+    # they'd be re-triangulated as duplicates (reference: the second Fuse
+    # pass over vpFuseCandidates, src/LocalMapping.cc:850-870)
+    nn, N = n_neighbors, st.obs_lm.shape[1]
+    obs_n = st.obs_lm[neigh]                                   # [nn,N]
+    has_n = (obs_n >= 0) & st.kf_kp_mask[neigh] & pair_ok[:, None]
+    lm2 = jnp.where(has_n, obs_n, 0).reshape(-1)               # [nn*N]
+    has2 = has_n.reshape(-1) & st.lm_mask[lm2]
+    # skip landmarks kf_new already observes (observer-bit test)
+    word = st.lm_obs_bits[lm2, kf_new // 32]
+    seen_by_new = (word >> (kf_new % 32)) & 1
+    has2 &= seen_by_new == 0
+    # first-occurrence dedupe: a landmark bound in several neighbors keeps
+    # one candidate row (duplicates soak up mutual-best slots)
+    M = lm2.shape[0]
+    same = (lm2[:, None] == lm2[None, :]) & has2[None, :]
+    has2 &= jnp.argmax(same, axis=1) == jnp.arange(M)
+    xy2, vis2, _, _ = matching.project_landmarks(
+        st.kf_R[kf_new], st.kf_t[kf_new], cam, st.lm_pos[lm2], has2)
+    unb_new = (obs_new < 0) & st.kf_kp_mask[kf_new]
+    m2 = matching.fuse_candidates(xy2, vis2, st.lm_desc[lm2],
+                                  st.kf_kp[kf_new], unb_new,
+                                  st.kf_desc[kf_new], radius=radius)
+    return mstate.add_observations(st, kf_new, m2.idx, lm2, m2.ok)
 
 
 # ---------------------------------------------------------------------------
