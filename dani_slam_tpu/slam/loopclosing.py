@@ -348,25 +348,9 @@ def global_bundle_adjustment(st: mstate.MapState, cam, iters: int = 10):
     Schur-free PCG solver (ops/ba_large.py): the explicit-Schur local solver
     cannot allocate its one-hot/H_pl tensors at whole-map capacities."""
     from dani_slam_tpu.ops import ba_large
-    K, N = st.obs_lm.shape
-    first = jnp.argmax(st.kf_mask)          # lowest occupied slot
-    # two anchors: the origin KF and its strongest covisible partner — a
-    # single fixed pose leaves the monocular SCALE gauge free, letting GBA
-    # drift the whole map's scale (the reference fixes only the init KF and
-    # relies on staying near the initialization; pinning the second anchor
-    # makes the gauge explicit)
-    cov_row = jnp.where(st.kf_mask, st.covis[first], -1).at[first].set(-1)
-    second = jnp.argmax(cov_row)
-    pose_fixed = ((~st.kf_mask) | (jnp.arange(K) == first) |
-                  ((jnp.arange(K) == second) & (cov_row[second] > 0)))
-    okf = jnp.repeat(jnp.arange(K), N)
-    olm = st.obs_lm.reshape(-1)
-    oxy = st.kf_kp.reshape(-1, 2)
-    ovalid = (olm >= 0) & st.kf_kp_mask.reshape(-1)
-    obs_info = 1.2 ** (-2.0 * st.kf_octave.reshape(-1).astype(jnp.float32))
+    pose_fixed, okf, olm, oxy, ovalid, obs_info = _gba_problem(st)
     res = ba_large.ba_solve_pcg(st.kf_R, st.kf_t, pose_fixed, st.lm_pos,
-                                st.lm_mask, cam, okf,
-                                jnp.where(ovalid, olm, 0),
+                                st.lm_mask, cam, okf, olm,
                                 oxy, ovalid, obs_info=obs_info, iters=iters)
     return dataclasses.replace(
         st, kf_R=jnp.where(st.kf_mask[:, None, None], res.R, st.kf_R),
@@ -386,6 +370,11 @@ def _gba_problem(st_snap: mstate.MapState):
     time-sliced chunks rebuild it identically each call."""
     K, N = st_snap.obs_lm.shape
     first = jnp.argmax(st_snap.kf_mask)
+    # two anchors: the origin KF and its strongest covisible partner — a
+    # single fixed pose leaves the monocular SCALE gauge free, letting GBA
+    # drift the whole map's scale (the reference fixes only the init KF and
+    # relies on staying near the initialization; pinning the second anchor
+    # makes the gauge explicit)
     cov_row = jnp.where(st_snap.kf_mask, st_snap.covis[first],
                         -1).at[first].set(-1)
     second = jnp.argmax(cov_row)
@@ -433,9 +422,12 @@ def apply_gba(st: mstate.MapState, snap_kf_mask, snap_kf_fid, snap_lm_mask,
     R_new = jnp.where(part[:, None, None], R_gba, st.kf_R)
     t_new = jnp.where(part[:, None], t_gba, st.kf_t)
     corrected = part
-    # spanning-tree propagation to keyframes created during the GBA window
-    # (at most a handful per window; 3 passes cover child->grandchild chains)
-    for _ in range(3):
+    # spanning-tree propagation to keyframes created during the GBA window.
+    # The weld fires gba_iters/gba_chunk_iters keyframes after the loop
+    # closure (default 5) and keyframes can be minted on consecutive frames,
+    # so parent chains of depth ~window-length exist; 8 passes cover them
+    # with margin (each pass is a cheap [K]-wide batched composition)
+    for _ in range(8):
         par = jnp.clip(st.spanning_parent, 0, K - 1)
         fix = (st.spanning_parent >= 0) & st.kf_mask & ~corrected
         fix &= jnp.take(corrected, par)
@@ -744,7 +736,17 @@ class LoopCloser:
         # candidate window (reference: DetectAndReffineSim3FromLastKF,
         # src/LoopClosing.cc:376-430 — each coincidence is a geometric hit)
         if self._hyp is not None:
-            cand, T12_prev, kf_prev, n_coin = self._hyp
+            (cand, T12_prev, kf_prev, n_coin, cand_fid,
+             prev_fid) = self._hyp
+            # slot-reuse guard: culling frees slots that insert_keyframe
+            # reuses — a hypothesis whose candidate or chain keyframe was
+            # replaced would propagate through the NEW occupant's pose
+            # (kf_frame_id disambiguates, as in apply_gba / trajectory)
+            cf, pf = jax.device_get((st.kf_frame_id[cand],
+                                     st.kf_frame_id[kf_prev]))
+            if int(cf) != cand_fid or int(pf) != prev_fid:
+                self._hyp = None
+                return st
             T12p = propagate_hypothesis(st, jnp.asarray(kf),
                                         jnp.asarray(kf_prev), T12_prev)
             T12r, n, ok = refine_loop_from_hypothesis(
@@ -755,7 +757,8 @@ class LoopCloser:
                 return st
             n_coin += 1
             if n_coin < self.consistency_needed:
-                self._hyp = (cand, T12r, kf, n_coin)
+                self._hyp = (cand, T12r, kf, n_coin, cand_fid,
+                             int(st.kf_frame_id[kf]))
                 return st
             self._hyp = None
             best, T12 = cand, T12r
@@ -773,7 +776,10 @@ class LoopCloser:
             if not bool(ok):
                 return st
             if self.consistency_needed > 1:
-                self._hyp = (best, T12, kf, 1)
+                cand_fid, prev_fid = jax.device_get(
+                    (st.kf_frame_id[best], st.kf_frame_id[kf]))
+                self._hyp = (best, T12, kf, 1, int(cand_fid),
+                             int(prev_fid))
                 return st
 
         four_dof = False

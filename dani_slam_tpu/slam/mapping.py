@@ -252,26 +252,17 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
 # (reference: Optimizer::LocalBundleAdjustment src/Optimizer.cc:1116-1499)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("P_opt", "P_fix", "L_loc", "iters"))
-def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
-                            P_opt: int = 8, P_fix: int = 8,
-                            L_loc: int = 2048, iters: int = 5):
-    # iters=5 matches the reference's first LBA phase (5 iterations, then
-    # 10 more only when not interrupted, src/Optimizer.cc:1350-1365); the
-    # window re-solves at every keyframe, so truncation self-corrects
-    """Optimize the covisibility window around center_kf.
 
-    Window: center + its (P_opt-1) best covisible KFs are optimized; the
-    P_fix next-best observers of the window's landmarks are fixed anchors
-    (gauge). Landmarks: up to L_loc observed by the optimized set.
-    """
-    K, N = st.obs_lm.shape
+def _lba_window_select(st: mstate.MapState, center_kf: jax.Array,
+                       P_opt: int, L_loc: int):
+    """Shared window/landmark selection of the local BA (used by the solver
+    AND lba_window_stats — one definition keeps the coverage numbers honest
+    about the window the solver actually optimizes).
 
+    Returns (opt_idx [P_opt], opt_real [P_opt], win_cnt [L], lm_sel [L],
+    loc_lm [L_loc], loc_lm_valid [L_loc], inv [L])."""
     # --- select optimized keyframes ---
     wrow = jnp.where(st.kf_mask, st.covis[center_kf], -1).at[center_kf].set(-1)
-    # NB: lax.top_k returns (values, indices) — round-2 review caught the
-    # swapped unpack here, which silently reduced the optimized window to
-    # the (always-fixed) center keyframe, making local BA landmark-only
     top_idx = jnp.argsort(-wrow)[:P_opt - 1]
     top_w = wrow[top_idx]
     opt_idx = jnp.concatenate([center_kf[None], top_idx])      # [P_opt]
@@ -301,6 +292,26 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
                           jnp.arange(L_loc, dtype=jnp.int32), st.caps.L,
                           jnp.full((st.caps.L,), -1, jnp.int32))
     inv = jnp.where(lm_sel, inv, -1)   # only selected map to local
+    return opt_idx, opt_real, win_cnt, lm_sel, loc_lm, loc_lm_valid, inv
+
+
+@partial(jax.jit, static_argnames=("P_opt", "P_fix", "L_loc", "iters"))
+def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
+                            P_opt: int = 8, P_fix: int = 8,
+                            L_loc: int = 2048, iters: int = 5):
+    # iters=5 matches the reference's first LBA phase (5 iterations, then
+    # 10 more only when not interrupted, src/Optimizer.cc:1350-1365); the
+    # window re-solves at every keyframe, so truncation self-corrects
+    """Optimize the covisibility window around center_kf.
+
+    Window: center + its (P_opt-1) best covisible KFs are optimized; the
+    P_fix next-best observers of the window's landmarks are fixed anchors
+    (gauge). Landmarks: up to L_loc observed by the optimized set.
+    """
+    K, N = st.obs_lm.shape
+    from dani_slam_tpu.core import scatterless as sless
+    (opt_idx, opt_real, win_cnt, lm_sel, loc_lm, loc_lm_valid,
+     inv) = _lba_window_select(st, center_kf, P_opt, L_loc)
 
     # --- fixed keyframes: other observers of the selected landmarks ---
     obs_valid = st.obs_lm >= 0
@@ -393,22 +404,11 @@ def lba_window_stats(st: mstate.MapState, center_kf: jax.Array,
     ranking); used by tests and the stage profiler to keep the overflow
     honest rather than silent."""
     K, N = st.obs_lm.shape
-    wrow = jnp.where(st.kf_mask, st.covis[center_kf], -1).at[center_kf].set(-1)
-    top_idx = jnp.argsort(-wrow)[:P_opt - 1]
-    top_w = wrow[top_idx]
-    opt_idx = jnp.concatenate([center_kf[None], top_idx])
-    opt_real = jnp.concatenate([jnp.ones(1, bool), top_w > 0])
-    opt_real &= st.kf_mask[opt_idx]
-
+    (opt_idx, opt_real, win_cnt, lm_sel, loc_lm, loc_lm_valid,
+     _inv) = _lba_window_select(st, center_kf, P_opt, L_loc)
+    kept = jnp.zeros((st.caps.L,), bool).at[loc_lm].set(loc_lm_valid)
     obs_w = st.obs_lm[opt_idx]
     valid_w = (obs_w >= 0) & st.kf_kp_mask[opt_idx] & opt_real[:, None]
-    from dani_slam_tpu.core import scatterless as sless
-    win_cnt = sless.id_count(jnp.where(valid_w, obs_w, 0).reshape(-1),
-                             valid_w.reshape(-1), st.caps.L)
-    lm_sel = st.lm_mask & (win_cnt > 0)
-    lkey = jnp.where(lm_sel, win_cnt, -1)
-    loc_lm = jnp.argsort(-lkey)[:L_loc]
-    kept = jnp.zeros((st.caps.L,), bool).at[loc_lm].set(lm_sel[loc_lm])
 
     n_window_lm = jnp.sum(lm_sel.astype(jnp.int32))
     n_kept_lm = jnp.sum(kept.astype(jnp.int32))

@@ -434,11 +434,16 @@ class System:
                 break
             self._kf_pulls.pop(0)
             k_host, n_host = jax.device_get((k, n_tracked))
-            tr.ref_kf = int(k_host)
-            tr.ref_kf_tracked = int(n_host)
+            # only the NEWEST pull updates the reference bookkeeping: with
+            # back-to-back keyframes, an older pull resolving late must not
+            # overwrite ref_kf/ref_kf_tracked that already refer to a newer
+            # keyframe (the decision-time hint keeps them current meanwhile)
+            if kf_count == self._kf_count:
+                tr.ref_kf = int(k_host)
+                tr.ref_kf_tracked = int(n_host)
             if self.loop_closer is not None:
                 tr.st = self.loop_closer.on_keyframe(
-                    tr.st, tr.ref_kf, kf_count=kf_count, kf_dev=k,
+                    tr.st, int(k_host), kf_count=kf_count, kf_dev=k,
                     chain_ref=tr.ref_kf_dev)
                 if self.loop_closer.chain_corr is not None:
                     # GBA weld-back moved the map under the tracker: apply
@@ -449,6 +454,17 @@ class System:
                     tr.R_last, tr.t_last = tracking.apply_chain_correction(
                         tr.R_last, tr.t_last, cR, ct)
                     self._correct_pending_chain(cR, ct)
+                    # a keyframe awaiting its mapping step must be inserted
+                    # at the POST-weld pose
+                    if tr.pending_kf is not None:
+                        pfeat, pbind, pR, pt = tr.pending_kf
+                        pR, pt = tracking.apply_chain_correction(pR, pt,
+                                                                 cR, ct)
+                        tr.pending_kf = (pfeat, pbind, pR, pt)
+                    # the frame pose popped by the in-flight keyframe
+                    # DECISION (tracking._resolve_pending) was captured
+                    # before this weld — hand it the correction
+                    tr.pending_chain_corr = (cR, ct)
                     self.loop_closer.chain_corr = None
             if self.atlas.n_maps() > 0:
                 self._try_map_merge()
@@ -727,6 +743,11 @@ class System:
         cand_kf = out["cand_kf"]
         if self.loop_closer is not None:
             self.loop_closer.abort_gba()   # snapshot pre-dates the merge
+            # the merge remaps every active-map slot: a loop hypothesis or
+            # deferred BoW candidate holding pre-merge slots would read the
+            # wrong keyframes of the merged map
+            self.loop_closer._hyp = None
+            self.loop_closer._pending_cand = None
         verbose.print_mess("Atlas: merged active map into a stored map")
         tr.st = merged
         tr.ref_kf = new_ref

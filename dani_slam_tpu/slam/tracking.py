@@ -586,6 +586,10 @@ class Tracker:
         # (remote) transport every frame
         self.ref_kf_tracked = 0
         self.pending_kf = None
+        # weld correction captured DURING a keyframe decision, to be applied
+        # to the already-popped frame pose before _create_kf (see
+        # System._resolve_kf_pull's GBA weld-back)
+        self.pending_chain_corr = None
         self.last_kf_frame = -999
         self.frames_lost = 0
         self.new_kf: Optional[int] = None   # set when a KF was inserted
@@ -961,8 +965,16 @@ class Tracker:
                 self._pending.clear()
                 self._on_lost(feat)
             elif self._need_new_kf(n, n_ct, n_cf):
+                if self.pending_chain_corr is not None:
+                    # a GBA weld landed inside this decision: the popped
+                    # frame pose predates it
+                    cR, ct = self.pending_chain_corr
+                    frame_pose = apply_chain_correction(frame_pose[0],
+                                                        frame_pose[1],
+                                                        cR, ct)
                 self._create_kf(feat, bind, pose=frame_pose,
                                 n_tracked_hint=n)
+            self.pending_chain_corr = None
 
     def _on_lost(self, feat: FrameFeatures | None = None):
         self.frames_lost += 1

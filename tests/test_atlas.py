@@ -155,7 +155,7 @@ class TestAtlasE2E:
             seed=seeds["A"] + 2, with_depth=True, time=99.0)
         out = sys._relocalize(sys.tracker, feat)
         assert out is not None, "reloc against pre-merge keyframes failed"
-        R_rel, t_rel, bind = out
+        R_rel, t_rel, bind, _reloc_kf = out
         # the map world frame is camera-0's frame (first pose = identity):
         # expected pose is the gt RELATIVE pose to frame 0
         from dani_slam_tpu.core import lie
