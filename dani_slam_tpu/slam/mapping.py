@@ -234,10 +234,16 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
     seen_by_new = (word >> (kf_new % 32)) & 1
     has2 &= seen_by_new == 0
     # first-occurrence dedupe: a landmark bound in several neighbors keeps
-    # one candidate row (duplicates soak up mutual-best slots)
-    M = lm2.shape[0]
-    same = (lm2[:, None] == lm2[None, :]) & has2[None, :]
-    has2 &= jnp.argmax(same, axis=1) == jnp.arange(M)
+    # one candidate row (duplicates soak up mutual-best slots). Stable
+    # sort-by-id + neighbor-difference instead of an O(M^2) equality
+    # matrix; among equal ids the stable sort keeps the lowest row first,
+    # matching first-occurrence semantics.
+    L = st.caps.L
+    keys = jnp.where(has2, lm2, L)
+    order = jnp.argsort(keys, stable=True)
+    ks = keys[order]
+    first_sorted = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    has2 &= first_sorted[jnp.argsort(order)]
     xy2, vis2, _, _ = matching.project_landmarks(
         st.kf_R[kf_new], st.kf_t[kf_new], cam, st.lm_pos[lm2], has2)
     unb_new = (obs_new < 0) & st.kf_kp_mask[kf_new]
