@@ -81,11 +81,16 @@ def _window_landmarks(st: mstate.MapState, kf: jax.Array, cam,
     lm = jnp.where(has, obs, -1).reshape(-1)
     has = has.reshape(-1) & st.lm_mask[jnp.maximum(lm, 0)]
     # first-occurrence mask: a landmark seen by several window KFs keeps
-    # one row (duplicates would soak up mutual-NN slots)
-    M = lm.shape[0]
-    same = (lm[:, None] == lm[None, :]) & has[None, :]
-    first = jnp.argmax(same, axis=1)
-    has = has & (first == jnp.arange(M))
+    # one row (duplicates would soak up mutual-NN slots). Stable
+    # sort-by-id + neighbor-difference — O(M log M) instead of an O(M^2)
+    # equality matrix; the stable sort keeps the lowest row per id,
+    # matching first-occurrence semantics.
+    Lcap = st.caps.L
+    keys = jnp.where(has, lm, Lcap)
+    order = jnp.argsort(keys, stable=True)
+    ks = keys[order]
+    first_sorted = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    has = has & first_sorted[jnp.argsort(order)]
     lid = jnp.where(has, lm, 0)
     p_c = lie.se3_apply(st.kf_R[kf], st.kf_t[kf], st.lm_pos[lid])
     px = _cam.project(cam, p_c)
