@@ -387,14 +387,16 @@ def replace_landmarks(st: MapState, kill: jax.Array, keep: jax.Array,
     df = sless.id_sum(keep_s, valid, st.lm_found[kill_s], L)
     dv = sless.id_sum(keep_s, valid, st.lm_visible[kill_s], L)
     kill_mask = sless.id_mask(kill_s, valid, L)
-    # kept landmark inherits the killed one's observer bits. NB gather+
-    # scatter: with REPEATED keep ids only the last pair's bits land — an
-    # undercount that only narrows the local-map candidate superset
-    # (rare loop-closing path; the obs table stays exact).
-    bits = st.lm_obs_bits.at[keep_s].set(
-        jnp.where(valid[:, None],
-                  st.lm_obs_bits[keep_s] | st.lm_obs_bits[kill_s],
-                  st.lm_obs_bits[keep_s]))
+    # kept landmark inherits the killed one's observer bits. Invalid
+    # (padding) rows are DROPPED from the scatter via an out-of-range
+    # index — routing them to slot L-1 would overwrite a real merge into
+    # that slot with its stale pre-merge value. NB with REPEATED keep ids
+    # only the last pair's bits land — an undercount that only narrows the
+    # local-map candidate superset (rare loop-closing path; the obs table
+    # stays exact).
+    keep_w = jnp.where(valid, keep_s, L)           # L = out of bounds
+    bits = st.lm_obs_bits.at[keep_w].set(
+        st.lm_obs_bits[keep_s] | st.lm_obs_bits[kill_s], mode="drop")
     return dataclasses.replace(
         st, obs_lm=new_obs,
         lm_mask=st.lm_mask & ~kill_mask,

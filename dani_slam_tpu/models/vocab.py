@@ -240,4 +240,11 @@ def detect_reloc_candidates(bow_db: jax.Array, kf_mask: jax.Array,
     idx = best_in_group[gidx]
     keep = (vals >= 0.75 * vals[0]) & (vals > 0) & \
         (member_best[gidx] > 0)
+    # overlapping covisible groups can collapse onto the SAME best member:
+    # de-duplicate ranks so the caller's per-candidate attempts are not
+    # wasted re-trying one keyframe (reference dedups via spAlreadyAddedKF,
+    # KeyFrameDatabase.cc:820-840)
+    for r in range(1, n_best):
+        dup = jnp.any(idx[r] == idx[:r])
+        keep = keep.at[r].set(keep[r] & ~dup)
     return idx.astype(jnp.int32), vals, keep

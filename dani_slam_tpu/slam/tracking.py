@@ -235,23 +235,6 @@ def _ref_pose(st: mstate.MapState, k: jax.Array):
 
 
 @jax.jit
-def reanchor_chain(st: mstate.MapState, k: jax.Array, R_pre, t_pre,
-                   R_cur, t_cur, R_last, t_last):
-    """Apply the mapping-side correction of keyframe k (pre-BA pose ->
-    st pose) to the tracker's frame chain: T_cw' = T_cw o (T_kw_pre^-1 o
-    T_kw_post). Without this the chain drifts from the map by every local-BA
-    correction, old-map matches fall outside the chi2 gate, and tracked
-    counts decay until loss (reference: Tracking re-reads the BA-updated map
-    and recomputes the last frame's pose relative to its reference keyframe,
-    src/Tracking.cc:1909-1915). The constant-velocity model (left-relative)
-    is invariant under this right-composition."""
-    corr = lie.se3_mul(*lie.se3_inv(R_pre, t_pre), st.kf_R[k], st.kf_t[k])
-    R_c, t_c = lie.se3_mul(R_cur, t_cur, *corr)
-    R_l, t_l = lie.se3_mul(R_last, t_last, *corr)
-    return R_c, t_c, R_l, t_l, corr[0], corr[1]
-
-
-@jax.jit
 def apply_chain_correction(R, t, corr_R, corr_t):
     """Right-compose the map correction onto a stored pose (used to keep
     PIPELINED-mode rollback snapshots consistent with the re-anchored
@@ -442,27 +425,6 @@ def rgbd_frame_fused(sp_params, img, depth_img, cam, time, depth_factor,
         jnp.sum(st2.kf_mask.astype(jnp.int32))])])
     return (feat, R3, t3, bind, counts6, st2, (Rv2, tv2), (R_ref, t_ref),
             dyn_ratio)
-
-
-@partial(jax.jit, static_argnames=("use_depth",))
-def vi_refine_step(st: mstate.MapState, cam, feat: FrameFeatures,
-                   bind: jax.Array, R, t, v, bg, ba,
-                   R_prev, t_prev, v_prev, preint, calib,
-                   use_depth: bool = False):
-    """Visual-inertial refinement of the tracked frame state (reference:
-    the tracking optimization IS PoseInertialOptimizationLastFrame once the
-    IMU is initialized, src/Tracking.cc:2992-3016; here it refines the
-    visual solution with the preintegration edge to the previous frame)."""
-    from dani_slam_tpu.ops import solvers as slv
-
-    has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
-    pts = st.lm_pos[jnp.where(has, bind, 0)]
-    R2, t2, v2, bg2, ba2, inl, n = slv.pose_inertial_optimize(
-        R, t, v, bg, ba, R_prev, t_prev, v_prev, bg, ba,
-        preint, calib, cam, pts, feat.xy, has,
-        obs_depth=feat.depth if use_depth else None, use_depth=use_depth,
-        iters=8, info_cap=1e3)
-    return R2, t2, v2, bg2, ba2, n
 
 
 @partial(jax.jit, static_argnames=("use_depth",))
@@ -942,6 +904,13 @@ class Tracker:
                 # never blocks on the in-flight frame program
                 self._host_dyn_ratio = float(vals[4]) / 1000.0
                 self._host_n_kf = int(vals[5])
+            else:
+                # NON-fused resolve (feature path / recovery): the cached
+                # fused-path values are stale — a lingering high dyn_ratio
+                # would veto every recovery keyframe, and a stale low KF
+                # count defeats the capacity veto near caps.K
+                self._host_dyn_ratio = None
+                self._host_n_kf = None
             import os as _os
             if _os.environ.get("DANI_DEBUG_TRACK"):
                 import sys as _s

@@ -151,13 +151,19 @@ def load_euroc_imu(seq_dir: str):
 # ---------------------------------------------------------------------------
 
 def save_trajectory_tum(path: str, traj: List[Tuple[float, np.ndarray,
-                                                    np.ndarray]]):
+                                                    np.ndarray]],
+                        time_offset: float = 0.0):
     """'time tx ty tz qx qy qz qw' of T_wc (reference: SaveTrajectoryTUM
-    src/System.cc:579)."""
+    src/System.cc:579). time_offset restores absolute (epoch) timestamps:
+    runners feed the device SEQUENCE-RELATIVE times because epoch-scale
+    values quantize in float32 (ulp ~128 s at 1.4e9 s), which would
+    collapse every exported row onto one or two timestamps and break ATE
+    association against ground truth."""
     import jax.numpy as jnp
     from dani_slam_tpu.core import lie
     rows = []
     for (tm, R_cw, t_cw) in traj:
+        tm = tm + time_offset
         R_wc = np.asarray(R_cw).T
         C = -R_wc @ np.asarray(t_cw)
         q = np.asarray(lie.mat_to_quat(jnp.asarray(R_wc)))
@@ -167,13 +173,15 @@ def save_trajectory_tum(path: str, traj: List[Tuple[float, np.ndarray,
         f.write("\n".join(rows) + "\n")
 
 
-def save_trajectory_euroc(path: str, traj):
+def save_trajectory_euroc(path: str, traj, time_offset: float = 0.0):
     """EuRoC format: 'time_ns,tx,ty,tz,qw,qx,qy,qz' (reference:
-    SaveTrajectoryEuRoC src/System.cc:672)."""
+    SaveTrajectoryEuRoC src/System.cc:672). time_offset: see
+    save_trajectory_tum."""
     import jax.numpy as jnp
     from dani_slam_tpu.core import lie
     rows = []
     for (tm, R_cw, t_cw) in traj:
+        tm = tm + time_offset
         R_wc = np.asarray(R_cw).T
         C = -R_wc @ np.asarray(t_cw)
         q = np.asarray(lie.mat_to_quat(jnp.asarray(R_wc)))

@@ -33,6 +33,10 @@ def main():
     frames = io_utils.load_tum_rgb_list(args.sequence)
     if args.max_frames:
         frames = frames[:args.max_frames]
+    # rebase to sequence-relative time: epoch-scale stamps quantize in
+    # device float32 (ulp ~128 s at 1.4e9 s); savers restore t0
+    t0 = frames[0][0] if frames else 0.0
+    frames = [(ts - t0, r) for (ts, r) in frames]
     from dani_slam_tpu.utils.native import ImagePrefetcher
     pf = ImagePrefetcher([f"{args.sequence}/{r}" for _, r in frames])
     for i, (ts, rel) in enumerate(frames):
@@ -42,7 +46,7 @@ def main():
             print(f"[{i}/{len(frames)}] {state} kf={sys_.n_keyframes()}")
     sys_.shutdown()
     io_utils.save_trajectory_tum(args.out_prefix + "CameraTrajectory.txt",
-                                 sys_.tracker.trajectory)
+                                 sys_.tracker.trajectory, time_offset=t0)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,10 @@ def main():
     assoc = io_utils.load_tum_associations(args.associations)
     if args.max_frames:
         assoc = assoc[:args.max_frames]
+    # rebase to sequence-relative time: epoch-scale stamps quantize in
+    # device float32 (ulp ~128 s at 1.4e9 s); savers restore t0
+    t0 = assoc[0][0] if assoc else 0.0
+    assoc = [(ta - t0, a, tb - t0, b) for (ta, a, tb, b) in assoc]
     timer = timing.StageTimer()
 
     # native threaded read-ahead: decode overlaps device compute
@@ -79,7 +83,7 @@ def main():
     sys_.shutdown()
     pre = args.out_prefix
     io_utils.save_trajectory_tum(pre + "CameraTrajectory.txt",
-                                 sys_.tracker.trajectory)
+                                 sys_.tracker.trajectory, time_offset=t0)
     if args.time_stats:
         import jax.numpy as jnp
         from dani_slam_tpu.utils import stage_profile

@@ -54,6 +54,13 @@ def main():
         imu_t, imu_w, imu_a = io_utils.load_euroc_imu(args.sequence)
     if args.max_frames:
         left = left[:args.max_frames]
+    # rebase to sequence-relative time: epoch-scale stamps quantize in
+    # device float32 (ulp ~128 s at 1.4e9 s); savers restore t0
+    t0 = left[0][0] if left else 0.0
+    left = [(ts - t0, p) for (ts, p) in left]
+    right = [(ts - t0, p) for (ts, p) in right]
+    if imu_t is not None:
+        imu_t = imu_t - t0
 
     from dani_slam_tpu.utils.native import ImagePrefetcher
     left_pf = ImagePrefetcher([p for _, p in left])
@@ -79,7 +86,7 @@ def main():
             print(f"[{i}/{len(left)}] {state} kf={sys_.n_keyframes()}")
     sys_.shutdown()
     io_utils.save_trajectory_euroc(args.out_prefix + "CameraTrajectory.txt",
-                                   sys_.tracker.trajectory)
+                                   sys_.tracker.trajectory, time_offset=t0)
 
 
 if __name__ == "__main__":

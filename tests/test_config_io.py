@@ -73,6 +73,26 @@ class TestTrajectoryIO:
         C0 = -traj[0][1].T @ traj[0][2]
         np.testing.assert_allclose(rows[0, 1:4], C0, atol=1e-5)
 
+    def test_epoch_time_offset_restores_precision(self, tmp_path):
+        """Epoch-scale stamps (TUM/EuRoC ~1.4e9 s) quantize in device
+        float32 (ulp ~128 s) — runners rebase to sequence-relative time and
+        the savers restore t0, so exported rows keep millisecond-distinct
+        absolute timestamps for ATE association."""
+        t0 = 1305031102.175          # TUM fr3 epoch start
+        # the failure mode the rebase prevents: distinct frame times
+        # collapse onto ONE f32 value at epoch scale
+        assert np.float32(t0 + 1 / 30.0) == np.float32(t0)
+        traj = self._traj()
+        # simulate the device round-trip of REBASED times (f32-exact)
+        traj = [(float(np.float32(tm)), R, t) for (tm, R, t) in traj]
+        p = str(tmp_path / "traj_epoch.txt")
+        io_utils.save_trajectory_tum(p, traj, time_offset=t0)
+        rows = np.loadtxt(p)
+        got = rows[:, 0]
+        want = t0 + np.asarray([tm for (tm, _, _) in traj])
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        assert len(np.unique(got)) == len(got), "timestamps collapsed"
+
     def test_kitti_format(self, tmp_path):
         p = str(tmp_path / "kitti.txt")
         io_utils.save_trajectory_kitti(p, self._traj())
