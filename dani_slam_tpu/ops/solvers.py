@@ -406,6 +406,8 @@ def pose_inertial_optimize_marginalized(
         return H, g
 
     def total_cost(states, inl):
+        """Returns (cost, per-observation chi2) — callers reuse the chi2
+        for inlier reclassification instead of a third vis_parts pass."""
         Rp, tp, vp, bgp, bap, Rc, tc, vc, bgc, bac = states
         *_, c = vis_parts(Rc, tc)
         sq = jnp.sqrt(jnp.maximum(c, 1e-12))
@@ -416,7 +418,7 @@ def pose_inertial_optimize_marginalized(
         return (jnp.sum(jnp.where(inl & mask, rho, 0.0)) +
                 r15[:9] @ info9 @ r15[:9] +
                 jnp.sum(r15[9:] ** 2 * rw_info) +
-                rp @ prior_info @ rp)
+                rp @ prior_info @ rp), c
 
     def gn(_, carry):
         states, inl, lam = carry
@@ -425,11 +427,14 @@ def pose_inertial_optimize_marginalized(
         dx = -jnp.linalg.solve(Hd, g)
         cand = (*unpack(dx[:15], *states[:5]),
                 *unpack(dx[15:], *states[5:]))
-        better = total_cost(cand, inl) < total_cost(states, inl)
+        cost_cand, c_cand = total_cost(cand, inl)
+        cost_old, c_old = total_cost(states, inl)
+        better = cost_cand < cost_old
         pick = lambda a, b: jnp.where(better, a, b)
         states = tuple(pick(a, b) for a, b in zip(cand, states))
         lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e6)
-        *_, c2 = vis_parts(states[5], states[6])
+        # reclassify on the ACCEPTED state's residuals (already computed)
+        c2 = jnp.where(better, c_cand, c_old)
         inl = mask & (c2 <= chi2_th)
         return states, inl, lam
 
