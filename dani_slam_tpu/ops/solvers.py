@@ -199,8 +199,10 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
     """Joint 15-DoF solve of the CURRENT frame state; the previous state is
     the fixed anchor (the reference's marginalized prior is approximated by
     anchoring the previous state, whose uncertainty the preintegration edge
-    information already reflects). Returns (R, t, v, bg, ba, inliers,
-    n_inliers)."""
+    information already reflects). The PRODUCTION tracking refinement is
+    pose_inertial_optimize_marginalized (true two-frame Schur prior); this
+    anchored variant is retained as the tests' comparison oracle for it.
+    Returns (R, t, v, bg, ba, inliers, n_inliers)."""
     from dani_slam_tpu.ops import imu as imu_ops
 
     delta = jnp.sqrt(CHI2_STEREO if use_depth else CHI2_MONO)
