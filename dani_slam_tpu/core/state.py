@@ -323,26 +323,31 @@ def add_observations_multi(st: MapState, kfs: jax.Array, kp_idx: jax.Array,
     """Bind observations in SEVERAL keyframes at once: keypoint kp_idx[i,j]
     of keyframe kfs[i] observes landmark lm_idx[j] where valid[i,j].
 
-    Contract (the batched-triangulation caller satisfies both):
-    - kfs entries are distinct slots;
-    - each landmark j is bound by AT MOST ONE keyframe i (valid columns are
-      one-hot) — so observation counts/bits need no cross-i combining.
-
-    One fused update replaces n sequential add_observations chains (each a
-    cumsum/id_lookup pass over the whole landmark table)."""
+    Contract: kfs entries are distinct slots (rows are written wholesale).
+    A landmark j MAY be bound by several keyframes i (the fuse pass binds
+    the same map point into every neighbor that sees it): observation
+    counts accumulate one per binding and every binder's observer bit is
+    set — exactly what a chain of per-keyframe add_observations would do,
+    but as ONE fused update instead of nn sequential full-landmark-table
+    passes (each a [L,N] compare-reduce; the chain was the dominant cost
+    of fuse_into_neighbors)."""
     nn, N = kp_idx.shape
+    L = st.caps.L
     lm_safe = jnp.where(lm_idx >= 0, lm_idx, 0)
     rows = jax.vmap(
         lambda kpi, v, old: sless.id_lookup(kpi, v, lm_safe, N, old)
     )(kp_idx, valid, st.obs_lm[kfs])
-    any_v = jnp.any(valid, axis=0)                              # [N]
-    dn = sless.id_count(lm_safe, any_v, st.caps.L)
-    # observer bit per landmark: the ONE binding keyframe's bit word
-    kf_of_lm = jnp.take(kfs, jnp.argmax(valid, axis=0))         # [N]
+    # one count per (keyframe, landmark) binding
+    dn = sless.id_count(jnp.broadcast_to(lm_safe, (nn, N)).reshape(-1),
+                        valid.reshape(-1), L)
+    # observer bits: OR of every binding keyframe's bit word (nn is small
+    # and static — an unrolled OR fold fuses into one elementwise pass)
     words = jax.vmap(_kf_bit_words, in_axes=(0, None))(
-        kf_of_lm, st.lm_obs_bits.shape[1])                      # [N,W]
-    delta = sless.id_lookup(lm_safe, any_v, words, st.caps.L,
-                            jnp.zeros_like(st.lm_obs_bits))
+        kfs, st.lm_obs_bits.shape[1])                           # [nn,W]
+    masks = jax.vmap(lambda v: sless.id_mask(lm_safe, v, L))(valid)  # [nn,L]
+    delta = jnp.zeros_like(st.lm_obs_bits)
+    for i in range(nn):
+        delta = delta | jnp.where(masks[i][:, None], words[i][None, :], 0)
     return dataclasses.replace(
         st, obs_lm=st.obs_lm.at[kfs].set(rows), lm_n_obs=st.lm_n_obs + dn,
         lm_obs_bits=st.lm_obs_bits | delta)

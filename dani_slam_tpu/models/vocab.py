@@ -102,8 +102,12 @@ def bow_vector(words: jax.Array, n_words: int | None = None,
     """Word ids -> L1-normalized term-frequency vector [V]."""
     V = n_words if n_words is not None else codebook.shape[0]
     valid = words >= 0
-    tf = jnp.zeros((V,)).at[jnp.where(valid, words, 0)].add(
-        valid.astype(jnp.float32))
+    # scatter-free histogram: a [V,N] compare-and-reduce streams through the
+    # VPU; the .at[].add scatter serializes on TPU (core/scatterless.py) and
+    # made this the priciest op of the per-keyframe BoW update
+    from dani_slam_tpu.core import scatterless as sless
+    tf = sless.id_count(jnp.where(valid, words, 0), valid, V).astype(
+        jnp.float32)
     return tf / jnp.maximum(tf.sum(), 1.0)
 
 
@@ -176,9 +180,10 @@ def detect_candidates(bow_db: jax.Array, kf_mask: jax.Array,
     scores = bow_l1_score(db_w, q_w[None])              # [K]
     scores = jnp.where(kf_mask, scores, -1.0)
     # group score: accumulate over covisible sets (matmul with boolean covis)
-    group = (covis > 10).astype(jnp.float32)
-    group = group.at[jnp.arange(group.shape[0]),
-                     jnp.arange(group.shape[0])].set(1.0)
+    K = covis.shape[0]
+    # scatter-free diagonal (a [K] scatter serializes on TPU)
+    group = jnp.where(jnp.eye(K, dtype=bool), 1.0,
+                      (covis > 10).astype(jnp.float32))
     acc = group @ jnp.where(kf_mask, jnp.maximum(scores, 0.0), 0.0)
     # exclude the query itself and its covisible neighbors
     connected = (covis[query_kf] >= min_covis_exclude)
@@ -226,9 +231,8 @@ def detect_reloc_candidates(bow_db: jax.Array, kf_mask: jax.Array,
         return idx.astype(jnp.int32), vals, keep
     # stage 3: accumulate over covisible groups (>=10 shared observations,
     # the reference's GetBestCovisibilityKeyFrames(10) neighborhood)
-    group = (covis > 10).astype(jnp.float32)
-    group = group.at[jnp.arange(group.shape[0]),
-                     jnp.arange(group.shape[0])].set(1.0)
+    group = jnp.where(jnp.eye(covis.shape[0], dtype=bool), 1.0,
+                      (covis > 10).astype(jnp.float32))
     acc = group @ scores                                # [K] group score
     # each group is represented by its best-scoring member
     member_best = jnp.max(jnp.where(group > 0, scores[None, :], -1.0),

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from dani_slam_tpu.core import cameras as _cam
 from dani_slam_tpu.core import lie
+from dani_slam_tpu.ops import linalg as dla
 
 CHI2_MONO = 5.991
 
@@ -117,13 +118,21 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
     obs_lm = jnp.where(obs_valid, obs_lm, 0)
     base_valid = obs_valid & jnp.take(lm_valid, obs_lm)
 
-    # one-hot landmark assignment per observation row: [P, N, L] in bf16.
-    # Built once (indices don't change across LM iterations).
+    # Landmark-block reduction strategy: on TPU the Pallas kernel
+    # (pallas_kernels.lba_landmark_blocks) generates indicator tiles in
+    # VMEM from the [P,N] id table — the XLA one-hot materializes
+    # [P,N,L] (~134 MB f32 at production caps) in HBM and streams it
+    # every LM iteration, the dominant traffic of the local-BA solve.
     row_lm = obs_lm.reshape(P, N)
     row_ok = base_valid.reshape(P, N)
-    onehot = ((row_lm[:, :, None] ==
-               jnp.arange(L, dtype=row_lm.dtype)[None, None, :]) &
-              row_ok[:, :, None]).astype(jnp.float32)
+    use_kernel = (jax.default_backend() == "tpu" and
+                  L % 256 == 0 and N % 128 == 0)
+    if use_kernel:
+        ids2d = jnp.where(row_ok, row_lm, -1).astype(jnp.int32)
+    else:
+        onehot = ((row_lm[:, :, None] ==
+                   jnp.arange(L, dtype=row_lm.dtype)[None, None, :]) &
+                  row_ok[:, :, None]).astype(jnp.float32)
 
     def cost_of(R, t, lm, w_sel):
         r, _, _ = _residuals(R, t, cam, lm, obs_kf, obs_lm, obs_xy)
@@ -147,20 +156,28 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         # pose blocks: kf-major layout -> plain reshape-sum over N
         H_pp = JtJ_p.reshape(P, N, 6, 6).sum(1)
         g_p = b_p.reshape(P, N, 6).sum(1)
-        # landmark blocks: one-hot matmuls (MXU), no scatter; f32 products
-        # (one-hot entries are exact 0/1, JtJ stays full precision)
-        # HIGH (3-pass bf16, ~f32 accurate) for the big one-hot
-        # contractions: at "highest" these 134 MB operands run 6 passes
-        hp = jax.lax.Precision.HIGH
-        H_ll = jnp.einsum('pnl,pnij->lij', onehot,
-                          JtJ_l.reshape(P, N, 3, 3), precision=hp,
-                          preferred_element_type=jnp.float32)
-        H_pl = jnp.einsum('pnl,pnik->plik', onehot,
-                          JtJ_pl.reshape(P, N, 6, 3), precision=hp,
-                          preferred_element_type=jnp.float32)
-        g_l = jnp.einsum('pnl,pnk->lk', onehot,
-                         b_l.reshape(P, N, 3), precision=hp,
-                         preferred_element_type=jnp.float32)
+        if use_kernel:
+            from dani_slam_tpu.ops import pallas_kernels as pk
+            vals = jnp.concatenate([
+                JtJ_l.reshape(P, N, 9), b_l.reshape(P, N, 3),
+                JtJ_pl.reshape(P, N, 18)], axis=-1)
+            H_ll, g_l, H_pl = pk.lba_landmark_blocks(ids2d, vals, L)
+        else:
+            # landmark blocks: one-hot matmuls (MXU), no scatter; f32
+            # products (one-hot entries are exact 0/1, JtJ stays full
+            # precision). HIGH (3-pass bf16, ~f32 accurate) for the big
+            # one-hot contractions: at "highest" these 134 MB operands
+            # run 6 passes
+            hp = jax.lax.Precision.HIGH
+            H_ll = jnp.einsum('pnl,pnij->lij', onehot,
+                              JtJ_l.reshape(P, N, 3, 3), precision=hp,
+                              preferred_element_type=jnp.float32)
+            H_pl = jnp.einsum('pnl,pnik->plik', onehot,
+                              JtJ_pl.reshape(P, N, 6, 3), precision=hp,
+                              preferred_element_type=jnp.float32)
+            g_l = jnp.einsum('pnl,pnk->lk', onehot,
+                             b_l.reshape(P, N, 3), precision=hp,
+                             preferred_element_type=jnp.float32)
 
         # damping
         H_pp = H_pp + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(H_pp))
@@ -190,7 +207,9 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         rhs = rhs * keep[:, None]
 
         Sd = S.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
-        dp = -jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(P, 6)
+        # unrolled Cholesky (ops/linalg.py), not linalg.solve: the LU
+        # custom call is latency-bound on TPU and this runs every LM iter
+        dp = -dla.chol_solve(Sd, rhs.reshape(-1)).reshape(P, 6)
         dp = dp * keep[:, None]
         # back-substitute landmarks: dl = -Hll^-1 (g_l + H_pl^T dp)
         Hpl_t_dp = jnp.einsum('plik,pi->lk', H_pl, dp)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from dani_slam_tpu.core import lie
+from dani_slam_tpu.ops import linalg as dla
 
 GRAVITY = 9.81
 G_VEC = jnp.asarray([0.0, 0.0, -GRAVITY])
@@ -276,7 +277,7 @@ def inertial_init(R_wb: jax.Array, t_wb: jax.Array, dts: jax.Array,
         g_vec = J.T @ r
         if not optimize_scale:
             g_vec = g_vec.at[0].set(0.0)
-        return x - jnp.linalg.solve(H, g_vec)
+        return x - dla.chol_solve(H, g_vec)
 
     x = jax.lax.fori_loop(0, iters, gn_step, x0)
     s, g, bg, ba, v = unpack(x)

@@ -188,3 +188,97 @@ def window_match_topk2_xla(qdesc, qxy, qvalid, tdesc, txy, tvalid, radius):
     cidx = jnp.argmin(dist, axis=0)
     return (best, second, idx.astype(jnp.int32),
             cbest, cidx.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Local-BA landmark-block accumulation
+# ---------------------------------------------------------------------------
+#
+# Every LM iteration of ba_solve reduces per-observation Jacobian blocks
+# into per-landmark blocks:  H_ll[l] = sum over obs of lm l of JtJ_l,
+# g_l[l] likewise, and H_pl[p,l] per (keyframe, landmark) pair. The XLA
+# path expresses these as one-hot matmuls over a [P,N,L] indicator
+# (~134 MB f32 at production caps) streamed from HBM once per einsum per
+# iteration — the dominant memory traffic of the local-BA solve
+# (reference semantics: g2o BlockSolver_6_3 landmark-block construction,
+# Thirdparty/g2o core/block_solver.hpp). This kernel generates the
+# indicator tiles in VMEM from the [P,N] landmark-id table instead: HBM
+# traffic drops to O(P*N*C) per L-tile sweep (~16 MB total), and the MXU
+# does the same contractions.
+
+LBA_TL = 256      # landmark columns per grid step
+
+
+def _lba_acc_kernel(ids_ref, vals_ref, out12_ref, perkf_ref):
+    """One L-tile: for each keyframe p, mask = (tile_lm_ids == ids[p]),
+    prod = mask @ vals[p]  ([TL,N] @ [N,C]); the first 12 channels
+    (H_ll 9 + g_l 3) accumulate over p, the last 18 (H_pl) stay per-p."""
+    gi = pl.program_id(0)
+    P = ids_ref.shape[0]
+    N = ids_ref.shape[1]
+    C = vals_ref.shape[2]
+
+    tile_ids = jax.lax.broadcasted_iota(jnp.int32, (LBA_TL, N), 0) \
+        + gi * LBA_TL
+
+    def per_kf(p, acc12):
+        ids = ids_ref[p, :]                              # [N]
+        mask = (tile_ids == ids[None, :]).astype(jnp.float32)
+        prod = jax.lax.dot_general(
+            mask, vals_ref[p], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [TL,C]
+        perkf_ref[p, :, :] = prod[:, 12:]
+        return acc12 + prod[:, :12]
+
+    out12_ref[:] = jax.lax.fori_loop(
+        0, P, per_kf, jnp.zeros((LBA_TL, 12), jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("L", "interpret"))
+def lba_landmark_blocks(row_lm, vals, L: int, interpret: bool = False):
+    """Fused landmark-block reduction for ba_solve.
+
+    row_lm [P,N] int32: LOCAL landmark id per observation (-1 = invalid).
+    vals [P,N,30] f32: per-observation [JtJ_l(9) | b_l(3) | JtJ_pl(18)].
+    Returns (H_ll [L,3,3], g_l [L,3], H_pl [P,L,6,3]).
+    L must be a multiple of LBA_TL and N a multiple of 128 (production
+    caps are L=2048, N=1024; ba_solve pads otherwise).
+    """
+    P, N = row_lm.shape
+    out12, perkf = pl.pallas_call(
+        _lba_acc_kernel,
+        grid=(L // LBA_TL,),
+        in_specs=[pl.BlockSpec((P, N), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((P, N, 30), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((LBA_TL, 12), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((P, LBA_TL, 18), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((L, 12), jnp.float32),
+                   jax.ShapeDtypeStruct((P, L, 18), jnp.float32)],
+        interpret=interpret,
+    )(row_lm, vals)
+    H_ll = out12[:, :9].reshape(L, 3, 3)
+    g_l = out12[:, 9:12]
+    H_pl = perkf.reshape(P, L, 6, 3)
+    return H_ll, g_l, H_pl
+
+
+def lba_landmark_blocks_xla(row_lm, vals, L):
+    """XLA oracle (one-hot matmuls) — CPU fallback and kernel test
+    reference; numerics match ba_solve's original einsum formulation."""
+    P, N = row_lm.shape
+    ok = row_lm >= 0
+    onehot = ((jnp.where(ok, row_lm, L)[:, :, None] ==
+               jnp.arange(L, dtype=row_lm.dtype)[None, None, :])
+              ).astype(jnp.float32)
+    out = jnp.einsum('pnl,pnc->plc', onehot, vals,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)   # [P,L,30]
+    H_ll = jnp.sum(out[..., :9], axis=0).reshape(L, 3, 3)
+    g_l = jnp.sum(out[..., 9:12], axis=0)
+    H_pl = out[..., 12:].reshape(P, L, 6, 3)
+    return H_ll, g_l, H_pl

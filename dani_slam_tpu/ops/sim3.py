@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from dani_slam_tpu.core import cameras as _cam
 from dani_slam_tpu.core import lie
+from dani_slam_tpu.ops import linalg as dla
 from dani_slam_tpu.ops import solvers
 
 
@@ -134,7 +135,7 @@ def optimize_sim3(cam1, cam2, R0, t0, s0, pts1_c, obs1_xy, pts2_c, obs2_xy,
         if fix_scale:
             J = J.at[:, 6].set(0.0)
         H = J.T @ J + 1e-6 * jnp.eye(7)
-        dx = -jnp.linalg.solve(H, J.T @ r)
+        dx = -dla.chol_solve(H, J.T @ r)
         if fix_scale:
             dx = dx.at[6].set(0.0)
         dR, dt, ds = lie.sim3_exp(dx)

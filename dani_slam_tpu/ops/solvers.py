@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from dani_slam_tpu.core import cameras as _cam
 from dani_slam_tpu.core import lie
+from dani_slam_tpu.ops import linalg as dla
 
 CHI2_MONO = 5.991       # 2-DoF 95% (Optimizer.cc:852)
 CHI2_STEREO = 7.815     # 3-DoF 95% (Optimizer.cc:853)
@@ -128,7 +129,9 @@ def pose_optimize(R0, t0, cam, pts_w, obs_xy, mask,
             b = b + jnp.einsum('nik,n,ni->k', Jd, wd, rd)
 
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
-        dx = -jnp.linalg.solve(Hd, b)
+        # unrolled Cholesky, not linalg.solve: the LU custom call is
+        # latency-bound on TPU and this sits in a 4x10-iteration chain
+        dx = -dla.chol_solve(Hd, b)
         dR, dt = lie.se3_exp(dx)
         R_new = dR @ R
         t_new = dR @ t + dt
@@ -280,7 +283,7 @@ def pose_inertial_optimize(R0, t0, v0, bg0, ba0,
         H = H + jnp.einsum('ki,k,kj->ij', J15, info15, J15)
         g = g + jnp.einsum('ki,k,k->i', J15, info15, r15)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(15)
-        dx = -jnp.linalg.solve(Hd, g)
+        dx = -dla.chol_solve(Hd, g)
         dR, dt_ = lie.se3_exp(dx[:6])
         cand = (dR @ R, dR @ t + dt_, v + dx[6:9], bg + dx[9:12],
                 ba_ + dx[12:15])
@@ -338,7 +341,7 @@ def pose_inertial_optimize_marginalized(
     # cross-terms on fast-rotation segments)
     cov9 = preint.cov[:9, :9]
     cov9 = 0.5 * (cov9 + cov9.T) + 1e-10 * jnp.eye(9)
-    info9 = jnp.linalg.inv(cov9)
+    info9 = dla.chol_inv(cov9)
     info9 = 0.5 * (info9 + info9.T)
     dtp = jnp.maximum(preint.dt, 1e-3)
     rw_info = jnp.concatenate([
@@ -426,7 +429,7 @@ def pose_inertial_optimize_marginalized(
         states, inl, lam = carry
         H, g = build_system(*states, inl)
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(30)
-        dx = -jnp.linalg.solve(Hd, g)
+        dx = -dla.chol_solve(Hd, g)
         cand = (*unpack(dx[:15], *states[:5]),
                 *unpack(dx[15:], *states[5:]))
         cost_cand, c_cand = total_cost(cand, inl)
@@ -448,7 +451,7 @@ def pose_inertial_optimize_marginalized(
     H, _ = build_system(*states, inl)
     Hpp = H[:15, :15] + 1e-9 * jnp.eye(15)
     Hcp = H[15:, :15]
-    H_next = H[15:, 15:] - Hcp @ jnp.linalg.solve(Hpp, Hcp.T)
+    H_next = H[15:, 15:] - Hcp @ dla.chol_inv(Hpp) @ Hcp.T
     H_next = 0.5 * (H_next + H_next.T)
     evals, evecs = jnp.linalg.eigh(H_next)
     H_next = (evecs * jnp.maximum(evals, 0.0)) @ evecs.T

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from dani_slam_tpu.core import cameras as _cam
+from dani_slam_tpu.ops import linalg as dla
 from dani_slam_tpu.core import lie
 from dani_slam_tpu.ops import ba as ba_ops
 from dani_slam_tpu.ops import imu as imu_ops
@@ -208,7 +209,7 @@ def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
             lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(
                 S[jnp.arange(P), jnp.arange(P)])) + 1e-6 * jnp.eye(15))
         Sm = Sd.transpose(0, 2, 1, 3).reshape(15 * P, 15 * P)
-        dx = -jnp.linalg.solve(Sm, rhs.reshape(-1)).reshape(P, 15)
+        dx = -dla.chol_solve(Sm, rhs.reshape(-1)).reshape(P, 15)
         dx = dx * keep_dim
 
         # back-substitute landmarks (visual pose sub-block only)

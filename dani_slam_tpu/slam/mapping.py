@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from dani_slam_tpu.core import cameras as _cam
-from dani_slam_tpu.core import lie, state as mstate
+from dani_slam_tpu.core import lie, scatterless as sless, state as mstate
 from dani_slam_tpu.ops import ba as ba_ops
 from dani_slam_tpu.ops import matching
 
@@ -206,8 +206,7 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
     base_mask = has_lm & st.lm_mask[lm_ids]
     pair_ok = (w > 0) & st.kf_mask[neigh]                      # [nn]
 
-    # forward: batched projection + window match over all neighbors (reads
-    # only; the per-neighbor observation writes stay sequential below)
+    # forward: batched projection + window match over all neighbors
     def one(kc, ok_i):
         xy, vis, _, _ = matching.project_landmarks(
             st.kf_R[kc], st.kf_t[kc], cam, lm_pos, base_mask & ok_i)
@@ -217,8 +216,9 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
         return m.idx, m.ok
 
     idxs, oks = jax.vmap(one)(neigh, pair_ok)
-    for i in range(n_neighbors):
-        st = mstate.add_observations(st, neigh[i], idxs[i], lm_ids, oks[i])
+    # all nn neighbor rows in ONE fused update (multi-binder semantics:
+    # the same landmark may fuse into several neighbors)
+    st = mstate.add_observations_multi(st, neigh, idxs, lm_ids, oks)
 
     # reverse: the neighbors' landmarks projected into kf_new — binds the
     # new keyframe's still-unbound keypoints to EXISTING map points before
@@ -435,34 +435,74 @@ def lba_window_stats(st: mstate.MapState, center_kf: jax.Array,
 def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
                              n_check: int = 10,
                              redundancy: float = 0.9):
-    """Check the covisible neighbors of center_kf; mark one redundant KF for
-    removal per call (the reference also erases at most gradually — the KF
-    queue re-runs culling every cycle)."""
+    """Check the covisible neighbors of center_kf; remove up to TWO
+    redundant KFs per call (the reference erases every redundant KF in the
+    local window per pass; two per keyframe keeps up in practice, and the
+    queue re-runs culling every cycle). One fused pass replaces the earlier
+    double invocation: the second candidate is scored with the first kill's
+    observations already discounted (sequential-cull semantics), and the
+    state update — the expensive whole-map select — is applied once."""
+    K = st.caps.K
     neigh, w = mstate.best_covisible(st, center_kf, n_check)
 
     obs_valid = st.obs_lm >= 0                        # [K,N]
     obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
+    origin = jnp.argmax(st.kf_mask)
 
-    def redundancy_of(k):
+    def redundancy_of(k, n_obs_adj):
         row_valid = obs_valid[k]
         lm = obs_safe[k]
-        n_obs = jnp.take(st.lm_n_obs, lm)
+        n_obs = jnp.take(st.lm_n_obs, lm) - jnp.take(n_obs_adj, lm)
         redundant = row_valid & (n_obs >= 4)   # seen by >=3 others + itself
         n_total = jnp.sum(row_valid.astype(jnp.int32))
         n_red = jnp.sum(redundant.astype(jnp.int32))
         frac = n_red.astype(jnp.float32) / jnp.maximum(n_total, 1)
         # never cull the newest KF, the map origin, or near-empty KFs
-        protected = ((k == center_kf) | (k == jnp.argmax(st.kf_mask)) |
-                     (n_total < 30))
+        protected = ((k == center_kf) | (k == origin) | (n_total < 30))
         return jnp.where(st.kf_mask[k] & ~protected & (w[0] >= 0), frac, -1.0)
 
-    fracs = jax.vmap(redundancy_of)(neigh)
-    best = jnp.argmax(fracs)
-    kill = fracs[best] >= redundancy
-    k_kill = neigh[best]
-    st2 = mstate.cull_keyframe(st, k_kill)
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.where(kill, a, b), st2, st)
+    zero_adj = jnp.zeros((st.caps.L,), jnp.int32)
+    fracs = jax.vmap(redundancy_of, in_axes=(0, None))(neigh, zero_adj)
+    i1 = jnp.argmax(fracs)
+    kill1 = fracs[i1] >= redundancy
+    k1 = neigh[i1]
+
+    # second candidate: discount observations the first kill removes
+    adj1 = sless.id_count(obs_safe[k1], obs_valid[k1] & kill1, st.caps.L)
+    fracs2 = jax.vmap(redundancy_of, in_axes=(0, None))(neigh, adj1)
+    fracs2 = fracs2.at[i1].set(-1.0)
+    i2 = jnp.argmax(fracs2)
+    kill2 = fracs2[i2] >= redundancy
+    k2 = neigh[i2]
+
+    # --- combined removal of {k1?, k2?} (cull_keyframe semantics x2) ---
+    kills = jnp.stack([k1, k2])
+    kflag = jnp.stack([kill1, kill2])
+    kill_mask = sless.id_mask(kills, kflag, K)                   # [K]
+    adj2 = sless.id_count(obs_safe[k2], obs_valid[k2] & kill2, st.caps.L)
+    n_words = st.lm_obs_bits.shape[1]
+    words = jax.vmap(mstate._kf_bit_words, in_axes=(0, None))(kills, n_words)
+    clear = jnp.where(kflag[0], words[0], 0) | jnp.where(kflag[1],
+                                                         words[1], 0)
+    # re-parent children of each killed KF to its parent (sequentially, so
+    # a k1->k2 parent chain resolves like two cull_keyframe calls)
+    parents = st.spanning_parent
+    for i in range(2):
+        p_of_k = parents[kills[i]]
+        parents = jnp.where(kflag[i] & (parents == kills[i]), p_of_k,
+                            parents)
+        parents = jnp.where(kflag[i] & (jnp.arange(K) == kills[i]), -1,
+                            parents)
+    return dataclasses.replace(
+        st,
+        kf_mask=st.kf_mask & ~kill_mask,
+        obs_lm=jnp.where(kill_mask[:, None], -1, st.obs_lm),
+        lm_n_obs=st.lm_n_obs - adj1 - adj2,
+        lm_obs_bits=st.lm_obs_bits & ~clear[None, :],
+        covis=jnp.where(kill_mask[:, None] | kill_mask[None, :], 0,
+                        st.covis),
+        spanning_parent=parents,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -513,8 +553,8 @@ def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
     if do_aux:
         st = cull_bad_landmarks(st, st.next_kf_counter)
         # up to two redundant neighbors culled per keyframe (the reference
-        # erases every redundant KF in the local window per pass)
-        st = cull_redundant_keyframes(st, k)
+        # erases every redundant KF in the local window per pass) — one
+        # fused two-kill pass
         st = cull_redundant_keyframes(st, k)
     chain_out = None
     if chain is not None:

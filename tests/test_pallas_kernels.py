@@ -87,3 +87,50 @@ class TestWindowMatch:
                                       interpret=True)
         # planted targets are ~2px away, outside the 0.001 radius
         assert float(jnp.min(b)) >= 1e8
+
+
+class TestLbaLandmarkBlocks:
+    def test_matches_xla_oracle(self):
+        from dani_slam_tpu.ops import pallas_kernels as pk
+        rng = np.random.default_rng(0)
+        P, N, L = 4, 256, 512
+        row_lm = rng.integers(0, L, size=(P, N)).astype(np.int32)
+        row_lm[rng.random((P, N)) < 0.3] = -1          # invalid obs
+        vals = rng.standard_normal((P, N, 30)).astype(np.float32)
+        Hk, gk, Wk = pk.lba_landmark_blocks(jnp.asarray(row_lm),
+                                            jnp.asarray(vals), L,
+                                            interpret=True)
+        Hx, gx, Wx = pk.lba_landmark_blocks_xla(jnp.asarray(row_lm),
+                                                jnp.asarray(vals), L)
+        np.testing.assert_allclose(np.asarray(Hk), np.asarray(Hx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Wk), np.asarray(Wx),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_oracle_matches_ba_einsums(self):
+        """The oracle must equal ba_solve's historical einsum formulation
+        (one-hot of valid rows only)."""
+        from dani_slam_tpu.ops import pallas_kernels as pk
+        rng = np.random.default_rng(1)
+        P, N, L = 3, 128, 256
+        row_lm = rng.integers(0, L, size=(P, N)).astype(np.int32)
+        row_ok = rng.random((P, N)) < 0.7
+        vals = rng.standard_normal((P, N, 30)).astype(np.float32)
+        ids = np.where(row_ok, row_lm, -1)
+        H, g, W = pk.lba_landmark_blocks_xla(jnp.asarray(ids),
+                                             jnp.asarray(vals), L)
+        onehot = ((row_lm[:, :, None] == np.arange(L)[None, None, :]) &
+                  row_ok[:, :, None]).astype(np.float64)
+        H_ref = np.einsum('pnl,pnij->lij', onehot,
+                          vals[..., :9].reshape(P, N, 3, 3))
+        g_ref = np.einsum('pnl,pnk->lk', onehot, vals[..., 9:12])
+        W_ref = np.einsum('pnl,pnik->plik', onehot,
+                          vals[..., 12:].reshape(P, N, 6, 3))
+        np.testing.assert_allclose(np.asarray(H), H_ref, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(W), W_ref, rtol=1e-4,
+                                   atol=1e-4)

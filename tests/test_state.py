@@ -133,3 +133,111 @@ class TestLandmarks:
         assert int(st2.lm_mask.sum()) == 8
         np.testing.assert_allclose(np.asarray(st2.lm_pos),
                                    np.asarray(st.lm_pos))
+
+
+class TestAddObservationsMulti:
+    def test_matches_sequential_chain_with_shared_landmarks(self):
+        """The fuse pass binds the SAME landmark into several neighbors;
+        the fused multi-row update must equal the per-keyframe chain
+        (counts accumulate per binding, all binders' bits set)."""
+        import jax
+        st = mstate.empty_map(CAPS)
+        st, slots = mstate.insert_landmarks(
+            st, jnp.zeros((16, 3)), jnp.zeros((16, CAPS.D)),
+            jnp.zeros((16, 3)), jnp.zeros(16), jnp.ones(16),
+            jnp.zeros(16, jnp.int32), jnp.zeros(16, jnp.int32),
+            jnp.ones(16, bool))
+        for i in range(3):
+            st, _ = mstate.insert_keyframe(
+                st, jnp.eye(3), jnp.zeros(3), float(i), jnp.asarray(i),
+                *kf_args())
+        kfs = jnp.asarray([0, 1, 2], jnp.int32)
+        lm_idx = jnp.asarray(list(range(16)), jnp.int32)
+        rng = np.random.default_rng(0)
+        kp_idx = jnp.asarray(
+            np.stack([rng.permutation(16) for _ in range(3)]), jnp.int32)
+        # landmark 0 bound by ALL three keyframes; 1 by two; rest scattered
+        valid = np.zeros((3, 16), bool)
+        valid[:, 0] = True
+        valid[:2, 1] = True
+        valid[0, 5] = valid[1, 7] = valid[2, 9] = True
+        valid = jnp.asarray(valid)
+
+        st_multi = mstate.add_observations_multi(st, kfs, kp_idx, lm_idx,
+                                                 valid)
+        st_seq = st
+        for i in range(3):
+            st_seq = mstate.add_observations(st_seq, kfs[i], kp_idx[i],
+                                             lm_idx, valid[i])
+        for name in ("obs_lm", "lm_n_obs", "lm_obs_bits"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_multi, name)),
+                np.asarray(getattr(st_seq, name)), err_msg=name)
+        assert int(st_multi.lm_n_obs[0]) == 3
+        assert int(st_multi.lm_n_obs[1]) == 2
+
+
+class TestTwoKillRedundantCull:
+    """cull_redundant_keyframes removes up to TWO redundant KFs per call,
+    scoring the second with the first kill's observations discounted
+    (sequential-cull semantics, reference LocalMapping::KeyFrameCulling
+    src/LocalMapping.cc:904)."""
+    CAPS2 = mstate.MapCaps(K=8, L=128, N=64, D=8)
+
+    def _kf(self, bind):
+        N = self.CAPS2.N
+        return (jnp.zeros((N, 2)), jnp.ones((N,), bool),
+                jnp.zeros((N, self.CAPS2.D)), jnp.full((N,), jnp.inf),
+                jnp.zeros((N,), jnp.int8), bind)
+
+    def _base(self, binds):
+        st = mstate.empty_map(self.CAPS2)
+        st, _ = mstate.insert_landmarks(
+            st, jnp.zeros((128, 3)), jnp.zeros((128, self.CAPS2.D)),
+            jnp.zeros((128, 3)), jnp.zeros(128), jnp.ones(128),
+            jnp.zeros(128, jnp.int32), jnp.zeros(128, jnp.int32),
+            jnp.ones(128, bool))
+        for b in binds:
+            st, _ = mstate.insert_keyframe(
+                st, jnp.eye(3), jnp.zeros(3), 0.0, jnp.asarray(0),
+                *self._kf(jnp.asarray(b, jnp.int32)))
+        return st
+
+    @staticmethod
+    def _obs_counts(st):
+        obs = np.asarray(st.obs_lm)
+        n = np.zeros(st.caps.L, np.int32)
+        for row in obs:
+            for l in row[row >= 0]:
+                n[l] += 1
+        return n
+
+    def test_two_fully_redundant_neighbors_killed_in_one_call(self):
+        from dani_slam_tpu.slam import mapping
+        # 5 KFs all observing the same 40 landmarks -> n_obs=5 each
+        bind = [list(range(40)) + [-1] * 24] * 5
+        st = self._base(bind)
+        st2 = mapping.cull_redundant_keyframes(st, jnp.asarray(4))
+        kept = int(np.sum(np.asarray(st2.kf_mask)))
+        assert kept == 3  # two of KF1..KF3 culled; origin+center protected
+        # invariants: n_obs matches the obs table; killed bits cleared
+        np.testing.assert_array_equal(np.asarray(st2.lm_n_obs),
+                                      self._obs_counts(st2))
+        killed = np.where(~np.asarray(st2.kf_mask)[:5])[0]
+        bits = np.asarray(st2.lm_obs_bits)
+        for k in killed:
+            assert not np.any(bits[:, k // 32] & (1 << (k % 32)))
+
+    def test_second_kill_respects_first_kills_discount(self):
+        from dani_slam_tpu.slam import mapping
+        # group A (40 lms) seen by KF0..KF3 (n_obs=4, barely redundant);
+        # center KF4 sees a disjoint group B. Killing ONE of KF1..KF3 drops
+        # group A to n_obs=3, so the second candidate must NOT be killed.
+        bindA = list(range(40)) + [-1] * 24
+        bindB = list(range(60, 100)) + [-1] * 24
+        st = self._base([bindA, bindA, bindA, bindA, bindB])
+        st2 = mapping.cull_redundant_keyframes(st, jnp.asarray(4))
+        kept = int(np.sum(np.asarray(st2.kf_mask)))
+        assert kept == 4, "exactly one of the n_obs=4 observers may go"
+        np.testing.assert_array_equal(np.asarray(st2.lm_n_obs),
+                                      self._obs_counts(st2))
