@@ -17,6 +17,7 @@ Design (TPU-first):
 """
 from __future__ import annotations
 
+import functools as _functools
 from functools import partial
 from typing import Any
 
@@ -175,17 +176,29 @@ def load_default_matcher(width: int = 640, height: int = 480,
     (dani_slam_tpu/weights/lightglue_synthetic.npz, produced by
     models/lightglue_train.py), else None. The authors' fine-tuned
     TorchScript checkpoint is not public (reference loads it from a
-    hard-coded path, src/LightGlue.cpp:9)."""
+    hard-coded path, src/LightGlue.cpp:9).
+
+    Weights are loaded and staged to device ONCE per process: the ~12 MB
+    state dict through a remote transport costs ~200+ ms per transfer, and
+    the params are read-only at inference."""
+    params, model = _load_default_weights(input_dim, dim, depth)
+    if params is None:
+        return None
+    return MatcherState(params, model, width, height)
+
+
+@_functools.lru_cache(maxsize=4)
+def _load_default_weights(input_dim: int, dim: int, depth: int):
     import os
 
     path = os.path.join(os.path.dirname(__file__), "..", "weights",
                         "lightglue_synthetic.npz")
     if not os.path.exists(path):
-        return None
+        return None, None
     from dani_slam_tpu.models.superpoint_train import load_params
     params = load_params(path)
     model = LightGlue(dim=dim, depth=depth, input_dim=input_dim)
-    return MatcherState(params, model, width, height)
+    return params, model
 
 
 def match_pairs(model: LightGlue, params, xy0, desc0, mask0, xy1, desc1,

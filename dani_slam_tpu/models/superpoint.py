@@ -19,6 +19,7 @@ Design notes (TPU-first):
 """
 from __future__ import annotations
 
+import functools as _functools
 from typing import Any
 
 import flax.linen as nn
@@ -104,6 +105,7 @@ def load_magicleap_pt(path: str) -> Any:
     return {"params": params}
 
 
+@_functools.lru_cache(maxsize=1)
 def load_default_params() -> Any:
     """Load the shipped synthetic-corner-trained weights if present
     (dani_slam_tpu/weights/superpoint_synthetic.npz, produced by
@@ -111,7 +113,8 @@ def load_default_params() -> Any:
     checkpoint is not public (reference loads it from a hard-coded external
     path, src/SPextractor.cpp:86); these weights make the image pipeline
     functional out of the box, and load_magicleap_pt converts the public
-    checkpoint when available."""
+    checkpoint when available. Memoized: the device transfer of the state
+    dict is paid once per process (params are read-only at inference)."""
     import os
 
     path = os.path.join(os.path.dirname(__file__), "..", "weights",

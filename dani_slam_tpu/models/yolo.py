@@ -18,6 +18,7 @@ mask without any host round-trip.
 """
 from __future__ import annotations
 
+import functools as _functools
 from functools import partial
 from typing import Any, Sequence
 
@@ -296,12 +297,14 @@ class Detector:
                              score_th=self.score_th, anchors=self.anchors)
 
 
+@_functools.lru_cache(maxsize=1)
 def load_default_detector() -> Detector | None:
     """Load the shipped synthetic-scene-trained detector if present
     (dani_slam_tpu/weights/yolo_synthetic.npz + __meta__, produced by
     models/yolo_train.py), else None. The authors' fine-tuned YOLOv5
     checkpoint is not public (reference loads a hard-coded path,
-    src/YoloDetect.cpp:9)."""
+    src/YoloDetect.cpp:9). Memoized: the device transfer of the state dict
+    is paid once per process (params are read-only at inference)."""
     import os
 
     import numpy as np
