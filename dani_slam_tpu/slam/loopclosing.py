@@ -602,6 +602,30 @@ def inertial_loop_gate(st: mstate.MapState, kf: int, cand: int, T12,
     return T12, False, True
 
 
+@jax.jit
+def _verify_stats_fresh(st: mstate.MapState, n, ok, cand, kfv):
+    """Bundle a fresh verification's host-decision scalars into ONE
+    transfer: [n_inliers, ok, frame_id(cand), frame_id(kfv)]. The frame ids
+    seed the hypothesis's slot-reuse guards."""
+    return jnp.stack([n.astype(jnp.int32), ok.astype(jnp.int32),
+                      st.kf_frame_id[cand].astype(jnp.int32),
+                      st.kf_frame_id[kfv].astype(jnp.int32)])
+
+
+@jax.jit
+def _verify_stats_refine(st: mstate.MapState, n, ok, cand, kfv, kf_prev,
+                         cand_fid, prev_fid):
+    """Refine-pass stats with the slot-reuse guard folded in ON DEVICE:
+    ok only if the hypothesis's candidate/chain keyframes still hold the
+    frame ids recorded when the hypothesis was stored (culling frees slots
+    that insert_keyframe reuses)."""
+    g = ((st.kf_frame_id[cand] == cand_fid) &
+         (st.kf_frame_id[kf_prev] == prev_fid))
+    return jnp.stack([n.astype(jnp.int32), (ok & g).astype(jnp.int32),
+                      st.kf_frame_id[cand].astype(jnp.int32),
+                      st.kf_frame_id[kfv].astype(jnp.int32)])
+
+
 class LoopCloser:
     """Host orchestration of place recognition + loop closing.
 
@@ -650,6 +674,12 @@ class LoopCloser:
         # n_coincidences) — re-verified geometrically at each keyframe
         self._hyp = None
         self._pending_cand = None   # deferred loop-candidate pull
+        # in-flight geometric verification: dispatched at one keyframe,
+        # its (n, ok, fid...) stats pulled at the NEXT (the transfer gets a
+        # whole keyframe of head start, so resolution never stalls the
+        # frame loop — the async analogue of the reference's LoopClosing
+        # thread lagging the keyframe queue, src/LoopClosing.cc:91-118)
+        self._pending_verify = None
         # time-sliced global BA (reference: concurrent GBA thread +
         # mbStopGBA abort, src/LoopClosing.cc:1199-1207): chunks of
         # gba_chunk_iters LM iterations run at subsequent keyframes instead
@@ -722,85 +752,127 @@ class LoopCloser:
             return st
         if kf_count is None:
             kf_count = int(st.next_kf_counter)
+
+        # The detection pipeline never blocks the frame loop: each stage's
+        # device program is DISPATCHED at one keyframe and its scalar stats
+        # RESOLVED at the next, by which point the async transfer has
+        # drained (the reference's LoopClosing runs in its own thread and
+        # similarly lags the keyframe queue, src/LoopClosing.cc:91-320).
+        #   stage A  dispatch detect_candidates          (every keyframe)
+        #   stage B  resolve candidates -> dispatch full Sim3 verification
+        #   stage C  resolve verification -> open/advance the hypothesis;
+        #            an active hypothesis dispatches its next geometric
+        #            refine in the same call, so each keyframe still
+        #            advances one temporal coincidence
+        #   correct  once consistency_needed coincidences land (rare; the
+        #            only path that synchronizes with the device)
+        st, corrected = self._resolve_verify(st, kf, kf_count)
+        if corrected:
+            return st
+
         if kf_count < 12 or kf_count - self.last_loop_kf < self.min_kf_gap:
+            self._pending_cand = None
             return st
 
-        # defer the candidate host-pull by ONE keyframe: pulling idx/vals
-        # here would synchronize the host with the just-dispatched keyframe
-        # program every time (the reference's LoopClosing thread also lags
-        # the keyframe queue, src/LoopClosing.cc:91-118)
-        prev = self._pending_cand
-        self._pending_cand = (vocab.detect_candidates(
-            self.bow, st.kf_mask, row, st.covis, kf_dev, n_best=3), kf)
-        if prev is None:
-            return st
-        (idx, vals), kf = prev
-
-        # existing hypothesis: re-verify GEOMETRICALLY at this keyframe by
-        # propagating the stored Sim3 through odometry and projecting the
-        # candidate window (reference: DetectAndReffineSim3FromLastKF,
-        # src/LoopClosing.cc:376-430 — each coincidence is a geometric hit)
-        if self._hyp is not None:
+        # active hypothesis: dispatch the geometric re-verification at this
+        # keyframe — propagate the stored Sim3 through odometry and project
+        # the candidate window (reference: DetectAndReffineSim3FromLastKF,
+        # src/LoopClosing.cc:376-430 — each temporal 'coincidence' is a
+        # geometric hit); stats (incl. the on-device slot-reuse guard)
+        # resolve next keyframe
+        if self._hyp is not None and self._pending_verify is None:
             (cand, T12_prev, kf_prev, n_coin, cand_fid,
              prev_fid) = self._hyp
-            # slot-reuse guard: culling frees slots that insert_keyframe
-            # reuses — a hypothesis whose candidate or chain keyframe was
-            # replaced would propagate through the NEW occupant's pose
-            # (kf_frame_id disambiguates, as in apply_gba / trajectory)
-            cf, pf = jax.device_get((st.kf_frame_id[cand],
-                                     st.kf_frame_id[kf_prev]))
-            if int(cf) != cand_fid or int(pf) != prev_fid:
-                self._hyp = None
-                return st
-            T12p = propagate_hypothesis(st, jnp.asarray(kf),
-                                        jnp.asarray(kf_prev), T12_prev)
-            T12r, n, ok = refine_loop_from_hypothesis(
-                st, self.cam, jnp.asarray(kf), jnp.asarray(cand), T12p,
+            self._hyp = None     # consumed; reopened at resolve time
+            cand_d, kf_d, kfp_d = (jnp.asarray(cand), jnp.asarray(kf),
+                                   jnp.asarray(kf_prev))
+            T12p = propagate_hypothesis(st, kf_d, kfp_d, T12_prev)
+            T12r, n, okr = refine_loop_from_hypothesis(
+                st, self.cam, kf_d, cand_d, T12p,
                 fix_scale=self.fix_scale, min_inliers=self.min_inliers)
-            if not bool(ok):
-                self._hyp = None
-                return st
-            n_coin += 1
-            if n_coin < self.consistency_needed:
-                self._hyp = (cand, T12r, kf, n_coin, cand_fid,
-                             int(st.kf_frame_id[kf]))
-                return st
-            self._hyp = None
-            best, T12 = cand, T12r
-        else:
-            best = int(idx[0])
-            if float(vals[0]) <= 0.0 or best == kf:
-                return st
-            # fresh candidate: full Sim3 RANSAC verification opens a
-            # hypothesis (coincidence #1); correction waits for
-            # consistency_needed geometric hits in a row
-            self.key, sub = jax.random.split(self.key)
-            T12, n, ok = verify_loop_candidate(
-                st, self.cam, jnp.asarray(kf), jnp.asarray(best), sub,
-                min_inliers=self.min_inliers, fix_scale=self.fix_scale)
-            if not bool(ok):
-                return st
-            if self.consistency_needed > 1:
-                cand_fid, prev_fid = jax.device_get(
-                    (st.kf_frame_id[best], st.kf_frame_id[kf]))
-                self._hyp = (best, T12, kf, 1, int(cand_fid),
-                             int(prev_fid))
-                return st
+            stats = _verify_stats_refine(
+                st, n, okr, cand_d, kf_d, kfp_d,
+                jnp.asarray(cand_fid), jnp.asarray(prev_fid))
+            try:
+                stats.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending_verify = (cand, T12r, kf, stats, n_coin)
+
+        # resolve last keyframe's candidate pull (transfer started at
+        # dispatch) and, if it names a plausible fresh candidate, dispatch
+        # the full Sim3 RANSAC verification (coincidence #1 opens a
+        # hypothesis at resolve time)
+        prev = self._pending_cand
+        cand_out = vocab.detect_candidates(
+            self.bow, st.kf_mask, row, st.covis, kf_dev, n_best=3)
+        for a in cand_out:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._pending_cand = (cand_out, kf)
+        if prev is None or self._pending_verify is not None:
+            return st
+        (idx, vals), kfq = prev
+        idx, vals = np.asarray(idx), np.asarray(vals)
+        best = int(idx[0])
+        if float(vals[0]) <= 0.0 or best == kfq:
+            return st
+        self.key, sub = jax.random.split(self.key)
+        best_d, kfq_d = jnp.asarray(best), jnp.asarray(kfq)
+        T12, n, ok = verify_loop_candidate(
+            st, self.cam, kfq_d, best_d, sub,
+            min_inliers=self.min_inliers, fix_scale=self.fix_scale)
+        stats = _verify_stats_fresh(st, n, ok, best_d, kfq_d)
+        try:
+            stats.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending_verify = (best, T12, kfq, stats, 0)
+        return st
+
+    def _resolve_verify(self, st: mstate.MapState, kf: int, kf_count: int):
+        """Resolve the previous keyframe's in-flight verification. Returns
+        (st, corrected). Opens/advances the loop hypothesis; once
+        consistency_needed geometric coincidences land in a row, corrects
+        the loop at the CURRENT keyframe (the stored Sim3 is propagated
+        here through odometry, the reference's gScw propagation)."""
+        if self._pending_verify is None:
+            return st, False
+        cand, T12, kf_v, stats, n_coin = self._pending_verify
+        self._pending_verify = None
+        n, ok, cand_fid, vkf_fid = (int(x) for x in np.asarray(stats))
+        if not ok:
+            return st, False
+        n_coin += 1
+        if n_coin < self.consistency_needed:
+            self._hyp = (cand, T12, kf_v, n_coin, cand_fid, vkf_fid)
+            return st, False
+
+        # resolution-time slot-reuse guard: cand/kf_v were validated when
+        # the refine was dispatched, one keyframe ago — culling since then
+        # would make the propagation read a reused slot's pose
+        cf, pf = jax.device_get((st.kf_frame_id[cand],
+                                 st.kf_frame_id[kf_v]))
+        if int(cf) != cand_fid or int(pf) != vkf_fid:
+            return st, False
+        best_d, kf_d = jnp.asarray(cand), jnp.asarray(kf)
+        T12c = propagate_hypothesis(st, kf_d, jnp.asarray(kf_v), T12)
 
         four_dof = False
         if bool(st.imu_initialized):
-            T12, four_dof, good = inertial_loop_gate(
-                st, kf, best, T12, ba2=bool(st.imu_ba2))
+            T12c, four_dof, good = inertial_loop_gate(
+                st, kf, cand, T12c, ba2=bool(st.imu_ba2))
             if not good:
-                return st          # BAD LOOP
+                return st, False   # BAD LOOP
 
         verbose.print_mess(
-            f"LoopClosing: loop detected KF slot {kf} <-> {best} "
-            f"({int(n)} inliers), correcting")
-        st = correct_loop(st, self.cam, jnp.asarray(kf), jnp.asarray(best),
-                          T12, fix_scale=self.fix_scale, four_dof=four_dof)
-        st = search_and_fuse(st, self.cam, jnp.asarray(kf),
-                             jnp.asarray(best))
+            f"LoopClosing: loop detected KF slot {kf} <-> {cand} "
+            f"({n} inliers), correcting")
+        st = correct_loop(st, self.cam, kf_d, best_d,
+                          T12c, fix_scale=self.fix_scale, four_dof=four_dof)
+        st = search_and_fuse(st, self.cam, kf_d, best_d)
         if self.run_gba:
             if self.gba_async:
                 # a NEW verified loop supersedes any in-flight GBA
@@ -812,4 +884,4 @@ class LoopCloser:
                 st = global_bundle_adjustment(st, self.cam)
         self.last_loop_kf = kf_count
         self.n_loops += 1
-        return st
+        return st, True

@@ -317,6 +317,7 @@ class System:
             self.loop_closer.last_loop_kf = -10 ** 9
             self.loop_closer._pending_cand = None
             self.loop_closer._hyp = None
+            self.loop_closer._pending_verify = None
             self.loop_closer.abort_gba()   # snapshot references the old map
         self._kf_count = 0
         if self.use_imu:
@@ -748,6 +749,7 @@ class System:
             # wrong keyframes of the merged map
             self.loop_closer._hyp = None
             self.loop_closer._pending_cand = None
+            self.loop_closer._pending_verify = None
         verbose.print_mess("Atlas: merged active map into a stored map")
         tr.st = merged
         tr.ref_kf = new_ref

@@ -126,7 +126,13 @@ def build_initial_map_rgbd(st: mstate.MapState, cam, f0: FrameFeatures,
     st, k0 = mstate.insert_keyframe(
         st, jnp.eye(3), jnp.zeros(3), f0.time, frame_id, f0.xy, f0.valid,
         f0.desc, f0.depth, f0.octave_or_zeros(), bind0)
-    return st, k0, bind0
+    # bundle the host-decision scalars into ONE transfer: the init frame
+    # otherwise pays a tunnel round trip per scalar (n_depth gate, slot id,
+    # bound count) — ~3 RTTs that dominated f0 under transport contention
+    stats = jnp.stack([jnp.sum(good.astype(jnp.int32)),
+                       k0.astype(jnp.int32),
+                       jnp.sum((bind0 >= 0).astype(jnp.int32))])
+    return st, k0, bind0, stats
 
 
 # ---------------------------------------------------------------------------
@@ -694,14 +700,20 @@ class Tracker:
 
     def _initialize(self, feat: FrameFeatures):
         if self.sensor in ("rgbd", "stereo"):
-            n_depth = int(jnp.sum(feat.valid & jnp.isfinite(feat.depth)))
+            # build unconditionally (functional state: discarded if the
+            # depth gate fails) so the whole init is one dispatch chain +
+            # ONE bundled scalar pull instead of 3 sequential round trips
+            st2, k0, bind, stats = build_initial_map_rgbd(
+                self.st, self.cam, feat, jnp.asarray(self.frame_id))
+            n_depth, k0_host, n_bound = (int(x) for x in np.asarray(stats))
             if n_depth < 50:
                 return
-            self.st, k0, bind = build_initial_map_rgbd(
-                self.st, self.cam, feat, jnp.asarray(self.frame_id))
-            self._post_init(feat, bind, jnp.eye(3), jnp.zeros(3), int(k0))
-            self.new_kf = int(k0)
-            self.init_kfs = [(int(k0), self.frame_id)]
+            self.st = st2
+            self._post_init(feat, bind, jnp.eye(3), jnp.zeros(3), k0_host,
+                            ref_kf_dev=k0.astype(jnp.int32),
+                            n_bound=n_bound)
+            self.new_kf = k0_host
+            self.init_kfs = [(k0_host, self.frame_id)]
             return
 
         # monocular
@@ -734,7 +746,8 @@ class Tracker:
                          (int(k1), self.frame_id)]
         self.init_feat = None
 
-    def _post_init(self, feat, bind, R, t, ref_kf):
+    def _post_init(self, feat, bind, R, t, ref_kf, ref_kf_dev=None,
+                   n_bound=None):
         self.state = OK
         self.R, self.t = R, t
         self.R_last, self.t_last = R, t
@@ -742,8 +755,10 @@ class Tracker:
         self.last_bind = bind
         self.ref_kf = ref_kf
         self.ref_kf_fid = self.frame_id
-        self.ref_kf_dev = jnp.asarray(ref_kf, jnp.int32)
-        self.ref_kf_tracked = int((bind >= 0).sum())
+        self.ref_kf_dev = (ref_kf_dev if ref_kf_dev is not None
+                           else jnp.asarray(ref_kf, jnp.int32))
+        self.ref_kf_tracked = (n_bound if n_bound is not None
+                               else int((bind >= 0).sum()))
         self.last_kf_frame = self.frame_id
         self.vel = None
 
