@@ -140,10 +140,31 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         return c, jnp.sum(jnp.where(w_sel, _rho(c, delta) if robust else c,
                                     0.0))
 
-    def lm_iter(_, carry):
-        R, t, lm, lam = carry
+    def lm_iter(carry):
+        # Deferred accept/reject: each iteration evaluates residuals ONCE,
+        # at the point proposed by the previous iteration. If the proposal
+        # did not reduce the cost, fall back to the previous point's CACHED
+        # residuals/Jacobians and retry from there with stiffer damping —
+        # one projection+Jacobian pass per LM iteration instead of two
+        # (the classic "evaluate-at-next-iterate" LM scheduling).
+        (R, t, lm, lam, Rp, tp, lmp, rp, Jpp, Jlp, cp, have_prev) = carry
         r, Jpose, Jpt = _residuals(R, t, cam, lm, obs_kf, obs_lm, obs_xy)
         c = jnp.sum(r * r, axis=-1) * info
+        c_tot = jnp.sum(jnp.where(base_valid,
+                                  _rho(c, delta) if robust else c, 0.0))
+        better = ~have_prev | (c_tot < cp)
+        # base point for this iteration's step
+        R = jnp.where(better, R, Rp)
+        t = jnp.where(better, t, tp)
+        lm = jnp.where(better, lm, lmp)
+        r = jnp.where(better, r, rp)
+        Jpose = jnp.where(better, Jpose, Jpp)
+        Jpt = jnp.where(better, Jpt, Jlp)
+        c = jnp.sum(r * r, axis=-1) * info
+        c_base = jnp.where(better, c_tot, cp)
+        lam = jnp.clip(jnp.where(have_prev,
+                                 jnp.where(better, lam * 0.5, lam * 4.0),
+                                 lam), 1e-8, 1e8)
         w = (_robust_w(c, delta) if robust else jnp.ones_like(c)) * info
         w = jnp.where(base_valid, w, 0.0)
 
@@ -221,21 +242,14 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
         t_new = jnp.einsum('pij,pj->pi', dR, t) + dt
         lm_new = lm + dl
 
-        # c_old from the residuals computed at iteration start (saves one
-        # of three full residual evaluations per LM iteration)
-        c_old = jnp.sum(jnp.where(base_valid,
-                                  _rho(c, delta) if robust else c, 0.0))
-        _, c_new = cost_of(R_new, t_new, lm_new, base_valid)
-        better = c_new < c_old
-        R = jnp.where(better, R_new, R)
-        t = jnp.where(better, t_new, t)
-        lm = jnp.where(better, lm_new, lm)
-        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 4.0), 1e-8, 1e8)
-        # converged when an ACCEPTED step barely moved any variable (a
-        # rejected step keeps iterating with stiffer damping)
-        done = better & (jnp.max(jnp.abs(dp)) < 1e-6) & (
-            jnp.max(jnp.abs(dl)) < 1e-6)
-        return (R, t, lm, lam), done
+        # the proposal is evaluated (and accepted/rejected) at the START of
+        # the next iteration; the base point + its residuals ride the carry.
+        # converged when the last proposal was ACCEPTED and the fresh step
+        # barely moves (a rejected step keeps iterating, stiffer damping)
+        done = (better & have_prev & (jnp.max(jnp.abs(dp)) < 1e-6) &
+                (jnp.max(jnp.abs(dl)) < 1e-6))
+        return (R_new, t_new, lm_new, lam, R, t, lm, r, Jpose, Jpt,
+                c_base, jnp.asarray(True)), done
 
     def cond_fn(s):
         i, _, done = s
@@ -243,12 +257,25 @@ def ba_solve(R0, t0, pose_fixed, lm0, lm_valid, cam,
 
     def body_fn(s):
         i, cc, _ = s
-        cc2, done = lm_iter(0, cc)
+        cc2, done = lm_iter(cc)
         return (i + 1, cc2, done)
 
-    carry = (R0, t0, lm0, jnp.asarray(1e-4))
-    _, (R, t, lm, _), _ = jax.lax.while_loop(
+    zeros_r = jnp.zeros((M, 2))
+    carry = (R0, t0, lm0, jnp.asarray(1e-4), R0, t0, lm0,
+             zeros_r, jnp.zeros((M, 2, 6)), jnp.zeros((M, 2, 3)),
+             jnp.asarray(jnp.inf), jnp.asarray(False))
+    _, cc, _ = jax.lax.while_loop(
         cond_fn, body_fn, (jnp.asarray(0), carry, jnp.asarray(False)))
-    c, total = cost_of(R, t, lm, base_valid)
+    # final accept check: the last proposal was never evaluated
+    (R_new, t_new, lm_new, _, Rb, tb, lmb, _, _, _, c_base, _) = cc
+    c, total = cost_of(R_new, t_new, lm_new, base_valid)
+    better = total < c_base
+    R = jnp.where(better, R_new, Rb)
+    t = jnp.where(better, t_new, tb)
+    lm = jnp.where(better, lm_new, lmb)
+    c = jnp.where(better, c, cost_of(Rb, tb, lmb, base_valid)[0])
+    # where, not minimum: a NaN proposal (e.g. all-rejected steps on a
+    # poisoned problem) must fall back to the base cost, not propagate
+    total = jnp.where(better, total, c_base)
     inlier = base_valid & (c <= CHI2_MONO)
     return BAResult(R, t, lm, inlier, total)

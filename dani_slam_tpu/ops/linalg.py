@@ -78,10 +78,62 @@ def chol_solve(A: jax.Array, b: jax.Array, eps: float = 1e-12) -> jax.Array:
 
     Drop-in replacement for `jnp.linalg.solve(A, b)` on the damped GN/LM
     systems of this codebase (pose_optimize 6, inertial 15/30, LBA Schur
-    96, inertial-window Schur 150).
+    96, inertial-window Schur 150). Systems with n a multiple of 6 and
+    n >= 24 take the BLOCKED path: n/6 panel steps (matmul + 6-wide
+    unrolled factor) instead of n scalar column steps — the sequential
+    latency chain inside every LM iteration shrinks ~6x.
     """
+    n = A.shape[-1]
+    if n >= 24 and n % 6 == 0:
+        return _chol_solve_blocked(A, b, 6, eps)
     L = chol_factor(A, eps)
     return _bwd_sub(L, _fwd_sub(L, b))
+
+
+def _chol_solve_blocked(A: jax.Array, b: jax.Array, blk: int,
+                        eps: float) -> jax.Array:
+    """Blocked Cholesky solve: factor in n/blk panel steps, then blocked
+    forward/backward substitution reusing the inverted diagonal blocks.
+    Each step is one batched matmul + a blk-wide unrolled factor — O(n/blk)
+    fused sequential steps instead of O(3n)."""
+    n = A.shape[-1]
+    nb = n // blk
+    L = jnp.zeros_like(A)
+    dinvs = []
+    for j in range(nb):
+        lo = j * blk
+        panel = A[..., lo:, lo:lo + blk]
+        if j:
+            panel = panel - jnp.einsum('...ik,...jk->...ij',
+                                       L[..., lo:, :lo],
+                                       L[..., lo:lo + blk, :lo])
+        D = chol_factor(panel[..., :blk, :], eps)
+        Dinv = tri_lower_inv(D)
+        below = jnp.einsum('...ik,...jk->...ij', panel[..., blk:, :], Dinv)
+        col = jnp.concatenate([D, below], axis=-2)
+        L = L.at[..., lo:, lo:lo + blk].set(col)
+        dinvs.append(Dinv)
+    # forward: L y = b
+    y = jnp.zeros_like(b)
+    for i in range(nb):
+        lo = i * blk
+        rhs = b[..., lo:lo + blk]
+        if i:
+            rhs = rhs - jnp.einsum('...ij,...j->...i',
+                                   L[..., lo:lo + blk, :lo], y[..., :lo])
+        y = y.at[..., lo:lo + blk].set(
+            jnp.einsum('...ij,...j->...i', dinvs[i], rhs))
+    # backward: L^T x = y
+    x = jnp.zeros_like(b)
+    for i in reversed(range(nb)):
+        lo, hi = i * blk, i * blk + blk
+        rhs = y[..., lo:hi]
+        if hi < n:
+            rhs = rhs - jnp.einsum('...ji,...j->...i',
+                                   L[..., hi:, lo:hi], x[..., hi:])
+        x = x.at[..., lo:hi].set(
+            jnp.einsum('...ji,...j->...i', dinvs[i], rhs))
+    return x
 
 
 def tri_lower_inv(L: jax.Array) -> jax.Array:

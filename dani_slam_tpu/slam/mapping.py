@@ -68,14 +68,38 @@ def create_new_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
 
     if matcher_model is not None:
         from dani_slam_tpu.models import lightglue as lg
-        idxb, scoreb, okb = lg.match_pairs(
+        # Compact both sides to their UNBOUND keypoints before the matcher:
+        # LightGlue attention is quadratic in tokens and bound/invalid slots
+        # are dead weight (the reference likewise only matches features
+        # without MapPoints in SearchForTriangulation, LGmatcher.cpp:856).
+        # Half the slots cover the live unbound population in practice
+        # (RGB-D binds close points from depth first); overflow keypoints
+        # simply wait for a later keyframe / fuse pass.
+        Nc = max(N // 2, 256)
+        perm1 = jnp.argsort(~unb1, stable=True).astype(jnp.int32)
+        sel1 = perm1[:Nc]
+        inv1 = jnp.argsort(perm1).astype(jnp.int32)             # [N] pos
+        v1c = unb1[sel1]
+        kp1c, d1c = kp1[sel1], d1[sel1]
+        sel2 = jnp.argsort(~unb2, axis=1, stable=True)[:, :Nc] \
+            .astype(jnp.int32)                                  # [nn,Nc]
+        v2c = jnp.take_along_axis(unb2, sel2, 1)
+        kp2c = jnp.take_along_axis(st.kf_kp[neigh], sel2[..., None], 1)
+        d2c = jnp.take_along_axis(st.kf_desc[neigh], sel2[..., None], 1)
+        idxc, scorec, okc = lg.match_pairs(
             matcher_model, matcher_params,
-            jnp.broadcast_to(kp1, (nn,) + kp1.shape),
-            jnp.broadcast_to(d1, (nn,) + d1.shape),
-            jnp.broadcast_to(unb1, (nn,) + unb1.shape),
-            st.kf_kp[neigh], st.kf_desc[neigh], unb2,
-            cam.width, cam.height)
-        quality = scoreb                                        # higher best
+            jnp.broadcast_to(kp1c, (nn,) + kp1c.shape),
+            jnp.broadcast_to(d1c, (nn,) + d1c.shape),
+            jnp.broadcast_to(v1c, (nn,) + v1c.shape),
+            kp2c, d2c, v2c, cam.width, cam.height)
+        # expand back to FULL indexing: neighbor ids via sel2, query rows
+        # via each keypoint's position in the unbound-first permutation
+        idx_fullc = jnp.take_along_axis(sel2, jnp.maximum(idxc, 0), 1)
+        g = jnp.minimum(inv1, Nc - 1)                           # [N]
+        in1 = (inv1 < Nc) & unb1
+        idxb = idx_fullc[:, g]                                  # [nn,N]
+        okb = okc[:, g] & in1[None, :]
+        quality = jnp.where(okb, scorec[:, g], -jnp.inf)        # higher best
     else:
         # batched mutual NN (no window: wide-baseline pairs)
         def one_nn(d2, u2):
