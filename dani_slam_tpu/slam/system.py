@@ -90,7 +90,7 @@ class System:
         # deferred keyframe host pulls (overlap the keyframe program with
         # subsequent frames' host work; see _keyframe_step/_resolve_kf_pull)
         self._kf_pulls = []
-        self.kf_pull_depth = 2
+        self.kf_pull_depth = 4
         self.deferred_kf = True
         # timestamp-jump guard (reference: src/Tracking.cc:1839-1875)
         self._last_ts = None

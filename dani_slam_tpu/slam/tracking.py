@@ -566,7 +566,11 @@ class Tracker:
         self._traj_dev = []      # device-side (time, R, t) refs
         self._traj_host = []     # materialized numpy trajectory
         self._pending = []       # deferred decisions (pipelined mode)
-        self.pipeline_depth = 2  # frames in flight before resolving
+        self.pipeline_depth = 4  # frames in flight before resolving
+        # (4: a keyframe program (~28 ms device) plus the device->host
+        # counts transfer fully drain behind 4 interleaved frame programs
+        # even under tunnel-latency spikes; measured +8-10 FPS over depth 2
+        # on the detector-on bench with no tracked-frame/ATE regression)
         self.dynamic_ratio = None  # device scalar set by System (YOLO)
         self._host_dyn_ratio = None  # host copies ridden along the counts
         self._host_n_kf = None       # transfer by the fused image path
