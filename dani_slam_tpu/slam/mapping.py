@@ -536,14 +536,15 @@ def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("use_depth", "do_ba", "do_aux",
-                                   "n_neighbors", "matcher_model"))
+                                   "n_neighbors", "matcher_model",
+                                   "ba_iters"))
 def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
                   feat_depth, bind, R, t, time, frame_id,
                   use_depth: bool = False, do_ba: bool = True,
                   do_aux: bool = True,
                   max_depth: float = 40.0, n_neighbors: int = 5,
                   feat_octave=None, matcher_model=None, matcher_params=None,
-                  chain=None):
+                  chain=None, ba_iters: int = 5):
     """Insert a keyframe and run the full mapping pipeline. Returns
     (st, kf_slot, n_tracked, chain') where chain'/(corr) re-anchor the
     tracker's pose chain onto the BA-refined keyframe pose (reference:
@@ -573,7 +574,7 @@ def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
     if do_aux:
         st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors)
     if do_ba:
-        st = local_bundle_adjustment(st, cam, k)
+        st = local_bundle_adjustment(st, cam, k, iters=ba_iters)
     if do_aux:
         st = cull_bad_landmarks(st, st.next_kf_counter)
         # up to two redundant neighbors culled per keyframe (the reference

@@ -90,6 +90,7 @@ class System:
         # deferred keyframe host pulls (overlap the keyframe program with
         # subsequent frames' host work; see _keyframe_step/_resolve_kf_pull)
         self._kf_pulls = []
+        self._last_kf_fid = -10 ** 9
         self.kf_pull_depth = 4
         self.deferred_kf = True
         # timestamp-jump guard (reference: src/Tracking.cc:1839-1875)
@@ -349,6 +350,14 @@ class System:
         # catch-up passes; see mapping.keyframe_step do_aux)
         do_aux = (self._kf_count % self.aux_every == 0
                   or self._kf_count <= 2)
+        # LBA truncation under keyframe pressure (reference: Tracking calls
+        # InterruptBA when it wants a keyframe and LBA aborts mid-iteration,
+        # src/Tracking.cc:3265 + mbAbortBA polling in LocalBundleAdjustment;
+        # under rapid insertion the reference effectively runs FEWER LM
+        # iterations). Back-to-back keyframes here truncate 5 -> 3; the
+        # window re-solves at every keyframe, so truncation self-corrects.
+        ba_iters = 3 if (fid - self._last_kf_fid) <= 4 else 5
+        self._last_kf_fid = fid
         st, k, n_tracked, chain = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
             bind, R_kf, t_kf, feat.time, jnp.asarray(fid),
@@ -357,7 +366,7 @@ class System:
             max_depth=self.max_depth, feat_octave=feat.octave_or_zeros(),
             matcher_model=mm.model if mm is not None else None,
             matcher_params=mm.params if mm is not None else None,
-            chain=(tr.R, tr.t, tr.R_last, tr.t_last))
+            chain=(tr.R, tr.t, tr.R_last, tr.t_last), ba_iters=ba_iters)
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
         # re-anchor the tracker's pose chain onto the BA-refined keyframe
