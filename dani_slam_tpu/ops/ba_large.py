@@ -242,13 +242,14 @@ def ba_pcg_chunk(carry, pose_fixed, lm_valid, cam,
 # Full (whole-map) visual-inertial BA
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "robust",
+                                   "full_info"))
 def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
                      obs_lm, obs_xy, obs_valid, preints, edge_valid,
                      calib: imu_ops.ImuCalib,
                      prior_g: float = 0.0, prior_a: float = 0.0,
                      iters: int = 8, cg_iters: int = 50,
-                     robust: bool = True):
+                     robust: bool = True, full_info: bool = True):
     """Whole-map visual-inertial BA (reference: Optimizer::FullInertialBA
     src/Optimizer.cc:392 — all keyframes' 15-DoF states + all landmarks,
     EdgeInertial chain between consecutive keyframes, EdgePriorGyro/Acc with
@@ -280,16 +281,12 @@ def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
     perm, seg_start, seg_end = _landmark_segments(olm_flat, base_valid, L)
     olm_2d = olm_flat.reshape(P, N)
 
-    # inertial edge information (diagonal approximation, as ops/viba.py)
-    covs = preints.cov[:, jnp.arange(9), jnp.arange(9)]
-    info9 = 1.0 / jnp.maximum(covs, 1e-8)
-    dts = jnp.maximum(preints.dt, 1e-3)
-    info_bg = 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dts, 1e-12)
-    info_ba = 1.0 / jnp.maximum(calib.walk_acc ** 2 * dts, 1e-12)
-    edge_info = jnp.concatenate([
-        info9, jnp.repeat(info_bg[:, None], 3, 1),
-        jnp.repeat(info_ba[:, None], 3, 1)], axis=1)
-    edge_info = jnp.clip(edge_info, 0.0, 1e6) * edge_valid[:, None]
+    # inertial edge information: full inverse 9x9 preintegration block +
+    # bias-walk diagonal (reference EdgeInertial uses cov.inverse(),
+    # src/Optimizer.cc:392-813), shared helper with ops/viba.py
+    edge_W = imu_ops.edge_information(preints, calib,
+                                      diag_only=not full_info)
+    edge_W = edge_W * edge_valid[:, None, None]              # [E,15,15]
 
     # bias prior information (toward zero, reference EdgePriorGyro/Acc)
     prior_diag = jnp.concatenate([
@@ -321,7 +318,7 @@ def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
     def total_cost(R, t, v, bg, ba_, lm):
         _, cv = vis_cost(R, t, lm)
         r_e, _, _ = edge_parts(R, t, v, bg, ba_)
-        ci = jnp.sum(r_e * r_e * edge_info)
+        ci = jnp.einsum('ek,ekl,el->', r_e, edge_W, r_e)
         cp = jnp.sum((bg * bg) * prior_g + (ba_ * ba_) * prior_a)
         return cv + ci + cp
 
@@ -352,7 +349,7 @@ def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
 
         # ---- inertial blocks ----
         r_e, Ji, Jj = edge_parts(R, t, v, bg, ba_)
-        we = edge_info                                        # [E,15]
+        We = edge_W                                           # [E,15,15]
 
         # gauge mask: pose dofs of fixed states
         keep = jnp.ones((P, 15)).at[:, :6].set(
@@ -363,8 +360,8 @@ def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
         hg = jnp.einsum('lij,lj->li', Hll_inv, g_l)
         rhs6 = g_p6 - jnp.einsum('pnij,pnj->pni', A4, hg[olm_2d]).sum(1)
         rhs = jnp.zeros((P, 15)).at[:, :6].set(rhs6)
-        rhs = rhs.at[:-1].add(jnp.einsum('eki,ek,ek->ei', Ji, we, r_e))
-        rhs = rhs.at[1:].add(jnp.einsum('eki,ek,ek->ei', Jj, we, r_e))
+        rhs = rhs.at[:-1].add(jnp.einsum('eki,ekl,el->ei', Ji, We, r_e))
+        rhs = rhs.at[1:].add(jnp.einsum('eki,ekl,el->ei', Jj, We, r_e))
         rhs = rhs + prior_diag * jnp.concatenate(
             [jnp.zeros((P, 9)), bg, ba_], axis=1)
         rhs = rhs * keep
@@ -373,8 +370,8 @@ def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
         diag_v = jnp.zeros((P, 15)).at[:, :6].set(
             jax.vmap(jnp.diag)(H_pp))
         diag_i = (jnp.zeros((P, 15))
-                  .at[:-1].add(jnp.einsum('eki,ek,eki->ei', Ji, we, Ji))
-                  .at[1:].add(jnp.einsum('eki,ek,eki->ei', Jj, we, Jj)))
+                  .at[:-1].add(jnp.einsum('eki,ekl,eli->ei', Ji, We, Ji))
+                  .at[1:].add(jnp.einsum('eki,ekl,eli->ei', Jj, We, Jj)))
         diag_all = diag_v + diag_i + prior_diag
         diag_damped = diag_all * (1.0 + lam) + 1e-6
         prec = jnp.where(keep > 0, 1.0 / jnp.clip(diag_damped, 1e-8, None),
@@ -391,7 +388,7 @@ def full_inertial_ba(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
             Sx = jnp.zeros((P, 15)).at[:, :6].set(Sx6)
             ve = (jnp.einsum('eij,ej->ei', Ji, x[:-1]) +
                   jnp.einsum('eij,ej->ei', Jj, x[1:]))
-            wve = we * ve
+            wve = jnp.einsum('ekl,el->ek', We, ve)
             Sx = Sx.at[:-1].add(jnp.einsum('eij,ei->ej', Ji, wve))
             Sx = Sx.at[1:].add(jnp.einsum('eij,ei->ej', Jj, wve))
             Sx = Sx + prior_diag * x

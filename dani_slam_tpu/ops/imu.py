@@ -185,6 +185,51 @@ def corrected_deltas(p: Preintegrated, bias_g: jax.Array, bias_a: jax.Array):
     return dR, dV, dP
 
 
+def edge_information(preints: Preintegrated, calib: ImuCalib,
+                     cap: float = 1e6, diag_only: bool = False):
+    """Full [E,15,15] information matrix per inertial edge.
+
+    Layout matches the 15-D edge residual of ops/viba._imu_edge_residual:
+    rows 0-8 are the preintegration residual (phi, v, p) weighted by the
+    FULL inverse of the 9x9 preintegration covariance block (reference:
+    EdgeInertial sets information to cov.inverse(), src/Optimizer.cc:392-813
+    via include/G2oTypes.h:495); rows 9-14 are the gyro/acc random-walk
+    residuals with 1/(sigma_walk^2 dt) diagonal information (EdgeGyroRW /
+    EdgeAccRW).
+
+    ``cap`` bounds the information eigenvalues (adding cap^-1 to the
+    covariance diagonal before inversion): the first-order integrator
+    carries O(dt^2) discretization bias the noise-only covariance doesn't
+    model, and the bound keeps the f32 normal equations conditioned.
+    ``diag_only=True`` reproduces the legacy diagonal approximation
+    1/diag(cov) (kept for A/B tests)."""
+    E = preints.dt.shape[0]
+    dts = jnp.maximum(preints.dt, 1e-3)                       # [E]
+    info_bg = jnp.clip(1.0 / jnp.maximum(calib.walk_gyro ** 2 * dts,
+                                         1e-12), 0.0, cap)
+    info_ba = jnp.clip(1.0 / jnp.maximum(calib.walk_acc ** 2 * dts,
+                                         1e-12), 0.0, cap)
+    if diag_only:
+        covs = preints.cov[:, jnp.arange(9), jnp.arange(9)]
+        info9_d = jnp.clip(1.0 / jnp.maximum(covs, 1e-8), 0.0, cap)
+        diag15 = jnp.concatenate([
+            info9_d, jnp.repeat(info_bg[:, None], 3, 1),
+            jnp.repeat(info_ba[:, None], 3, 1)], axis=1)      # [E,15]
+        return jax.vmap(jnp.diag)(diag15)
+    cov9 = preints.cov[:, :9, :9]
+    cov9 = 0.5 * (cov9 + cov9.transpose(0, 2, 1)) \
+        + (1.0 / cap) * jnp.eye(9)
+    from dani_slam_tpu.ops import linalg as _dla
+    info9 = jax.vmap(_dla.chol_inv)(cov9)
+    info9 = 0.5 * (info9 + info9.transpose(0, 2, 1))
+    W = jnp.zeros((E, 15, 15))
+    W = W.at[:, :9, :9].set(info9)
+    ii = jnp.arange(3)
+    W = W.at[:, 9 + ii, 9 + ii].set(info_bg[:, None])
+    W = W.at[:, 12 + ii, 12 + ii].set(info_ba[:, None])
+    return W
+
+
 def inertial_residual(p: Preintegrated, R1, t1, v1, R2, t2, v2,
                       bias_g, bias_a):
     """9-D preintegration residual between body states 1 and 2

@@ -71,11 +71,12 @@ def _imu_edge_residual(dx_i, dx_j, Ri, ti, vi, bgi, bai, Rj, tj, vj, bgj,
     return jnp.concatenate([r9, bgj2 - bgi2, baj2 - bai2])
 
 
-@partial(jax.jit, static_argnames=("iters", "robust"))
+@partial(jax.jit, static_argnames=("iters", "robust", "full_info"))
 def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
                obs_lm, obs_xy, obs_valid, preints,
                edge_valid, calib: imu_ops.ImuCalib,
-               iters: int = 8, robust: bool = True) -> VIBAResult:
+               iters: int = 8, robust: bool = True,
+               full_info: bool = True) -> VIBAResult:
     """Joint VI solve over a temporal window.
 
     R0..ba0: [P,...] states in temporal order (slot i+1 follows slot i).
@@ -97,21 +98,13 @@ def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
     onehot = ((jnp.where(obs_valid, obs_lm, -1)[:, :, None] ==
                jnp.arange(L)[None, None, :])).astype(jnp.float32)
 
-    # inertial edge information: inverse of preintegration covariance
-    # diagonal (full 9x9 would need a Cholesky per edge; the diagonal is the
-    # standard lightweight approximation) + bias walk info
-    covs = preints.cov[:, jnp.arange(9), jnp.arange(9)]      # [P-1,9]
-    info9 = 1.0 / jnp.maximum(covs, 1e-8)
-    dts = jnp.maximum(preints.dt, 1e-3)                      # [P-1]
-    info_bg = 1.0 / jnp.maximum(calib.walk_gyro ** 2 * dts, 1e-12)
-    info_ba = 1.0 / jnp.maximum(calib.walk_acc ** 2 * dts, 1e-12)
-    edge_info = jnp.concatenate([
-        info9, jnp.repeat(info_bg[:, None], 3, 1),
-        jnp.repeat(info_ba[:, None], 3, 1)], axis=1)         # [P-1,15]
-    # cap: the first-order integrator carries O(dt^2) discretization bias,
-    # so the raw covariance (noise-only) overstates the information; the cap
-    # also keeps the f32 system well-conditioned
-    edge_info = jnp.clip(edge_info, 0.0, 1e6)
+    # inertial edge information: FULL inverse of the 9x9 preintegration
+    # covariance block + bias-walk diagonal, as one [E,15,15] matrix per
+    # edge (reference EdgeInertial uses cov.inverse(); diag_only reproduces
+    # the legacy diagonal approximation for A/B tests)
+    edge_W = imu_ops.edge_information(preints, calib,
+                                      diag_only=not full_info)
+    edge_W = edge_W * edge_valid[:, None, None]              # [P-1,15,15]
 
     def visual_cost(R, t, lm):
         r, _, _ = ba_ops._residuals(R, t, cam, lm, okf, olm_flat, oxy_flat)
@@ -126,7 +119,7 @@ def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
                 jnp.zeros(15), jnp.zeros(15), R[i], t[i], v[i], bg[i],
                 ba_[i], R[i + 1], t[i + 1], v[i + 1], bg[i + 1], ba_[i + 1],
                 p, calib.R_bc, calib.t_bc)
-            return jnp.sum(r * r * edge_info[i]) * edge_valid[i]
+            return r @ (edge_W[i] @ r)
         return jnp.sum(jax.vmap(one)(jnp.arange(P - 1)))
 
     def lm_iter(_, carry):
@@ -182,15 +175,15 @@ def viba_solve(R0, t0, v0, bg0, ba0, pose_fixed, lm0, lm_valid, cam,
             return r_e, Ji, Jj
 
         r_e, Ji, Jj = jax.vmap(edge)(jnp.arange(P - 1))   # [E,15],[E,15,15]
-        we = edge_info * edge_valid[:, None]               # [E,15]
+        We = edge_W                                        # [E,15,15]
         ii = jnp.arange(P - 1)
-        S = S.at[ii, ii].add(jnp.einsum('eki,ek,ekj->eij', Ji, we, Ji))
-        S = S.at[ii + 1, ii + 1].add(jnp.einsum('eki,ek,ekj->eij', Jj, we,
+        S = S.at[ii, ii].add(jnp.einsum('eki,ekl,elj->eij', Ji, We, Ji))
+        S = S.at[ii + 1, ii + 1].add(jnp.einsum('eki,ekl,elj->eij', Jj, We,
                                                 Jj))
-        S = S.at[ii, ii + 1].add(jnp.einsum('eki,ek,ekj->eij', Ji, we, Jj))
-        S = S.at[ii + 1, ii].add(jnp.einsum('eki,ek,ekj->eij', Jj, we, Ji))
-        rhs = rhs.at[ii].add(jnp.einsum('eki,ek,ek->ei', Ji, we, r_e))
-        rhs = rhs.at[ii + 1].add(jnp.einsum('eki,ek,ek->ei', Jj, we, r_e))
+        S = S.at[ii, ii + 1].add(jnp.einsum('eki,ekl,elj->eij', Ji, We, Jj))
+        S = S.at[ii + 1, ii].add(jnp.einsum('eki,ekl,elj->eij', Jj, We, Ji))
+        rhs = rhs.at[ii].add(jnp.einsum('eki,ekl,el->ei', Ji, We, r_e))
+        rhs = rhs.at[ii + 1].add(jnp.einsum('eki,ekl,el->ei', Jj, We, r_e))
 
         # gauge: freeze only the POSE dofs of anchor states — their
         # velocities/biases stay free so the inertial chain can settle them

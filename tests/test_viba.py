@@ -366,3 +366,64 @@ class TestPoseInertialOptimize:
         assert np.isfinite(np.asarray(t)).all()
         np.testing.assert_allclose(np.asarray(t), np.asarray(t_t[1]),
                                    atol=0.05)
+
+
+class TestFullEdgeInformation:
+    """Full 9x9 inverse preintegration covariance on every inertial edge
+    (reference: EdgeInertial info = cov.inverse(), src/Optimizer.cc:392-813)
+    vs the legacy diagonal approximation."""
+
+    def test_edge_information_is_inverse_of_cov(self):
+        p = make_vi_problem(P=4)
+        W = imu_ops.edge_information(p["preints"], CAL, cap=1e12)
+        cov9 = np.asarray(p["preints"].cov[:, :9, :9])
+        W9 = np.asarray(W[:, :9, :9])
+        for e in range(W9.shape[0]):
+            c = 0.5 * (cov9[e] + cov9[e].T) + 1e-12 * np.eye(9)
+            prod = W9[e] @ c
+            np.testing.assert_allclose(prod, np.eye(9), atol=5e-2)
+        # walk blocks are diagonal with 1/(sigma^2 dt)
+        dts = np.maximum(np.asarray(p["preints"].dt), 1e-3)
+        want_bg = 1.0 / (float(CAL.walk_gyro) ** 2 * dts)
+        got_bg = np.asarray(W[:, 9, 9])
+        np.testing.assert_allclose(got_bg, np.clip(want_bg, 0, 1e12),
+                                   rtol=1e-4)
+
+    def test_diag_only_matches_legacy(self):
+        p = make_vi_problem(P=4)
+        W = imu_ops.edge_information(p["preints"], CAL, diag_only=True)
+        covs = np.asarray(p["preints"].cov[:, np.arange(9), np.arange(9)])
+        want = np.clip(1.0 / np.maximum(covs, 1e-8), 0, 1e6)
+        np.testing.assert_allclose(np.asarray(W[:, np.arange(9),
+                                                np.arange(9)]), want,
+                                   rtol=1e-5)
+        # off-diagonals are zero
+        off = np.asarray(W[:, :9, :9]) - np.asarray(
+            W[:, np.arange(9), np.arange(9)])[:, :, None] * np.eye(9)
+        assert np.abs(off).max() == 0.0
+
+    def test_full_info_not_worse_than_diag_fast_rotation(self):
+        """Fast-rotation window: rotation/velocity/position errors are
+        strongly correlated in the preintegration covariance; the full
+        inverse must weight them consistently. Full-info recovery must be
+        at least as accurate as the diagonal approximation."""
+        p = make_vi_problem(P=6, noise_px=0.6, pose_err=0.05, v_err=0.3,
+                            seed=3)
+        P = p["R0"].shape[0]
+        L = p["lm0"].shape[0]
+        # sparse vision so the inertial weighting actually matters
+        ov = p["obs_valid"].at[:, 12:].set(False)
+        args = (p["R0"], p["t0"], p["v0"], jnp.zeros((P, 3)),
+                jnp.zeros((P, 3)), p["fixed"], p["lm0"],
+                jnp.ones(L, bool), CAM, p["obs_lm"], p["obs_xy"], ov,
+                p["preints"], jnp.ones(P - 1, bool), CAL)
+        res_f = viba.viba_solve(*args, iters=10, full_info=True)
+        res_d = viba.viba_solve(*args, iters=10, full_info=False)
+        _, t_t, v_t, _ = p["truth"]
+        err_f = float(jnp.abs(res_f.t - t_t).max())
+        err_d = float(jnp.abs(res_d.t - t_t).max())
+        assert np.isfinite(err_f) and np.isfinite(err_d)
+        assert err_f <= err_d * 1.2 + 5e-3
+        # and the full-info solve still recovers the trajectory
+        np.testing.assert_allclose(np.asarray(res_f.t), np.asarray(t_t),
+                                   atol=0.08)
