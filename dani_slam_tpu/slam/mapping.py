@@ -212,23 +212,53 @@ def create_depth_landmarks(st: mstate.MapState, cam, kf_new: jax.Array,
 # (reference: LocalMapping::SearchInNeighbors src/LocalMapping.cc:716-900)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_neighbors",))
+@partial(jax.jit, static_argnames=("n_neighbors", "n_neighbors2"))
 def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
-                        n_neighbors: int = 5, radius: float = 3.0):
+                        n_neighbors: int = 5, radius: float = 3.0,
+                        n_neighbors2: int = 0):
     """Both fuse directions of the reference's SearchInNeighbors
     (src/LocalMapping.cc:716-900): project kf_new's landmarks into neighbor
     KFs AND the neighbors' landmarks back into kf_new; bind to unassociated
     keypoints that match (duplicate merging is handled implicitly: if the
     target keypoint already observes another landmark we leave it — full
-    replace logic comes with loop closing)."""
+    replace logic comes with loop closing).
+
+    n_neighbors2 > 0 extends the target set with up to n_neighbors2 best
+    covisible KFs of EACH one-hop neighbor (the reference's
+    covisible-of-covisible extension, src/LocalMapping.cc:735-748;
+    duplicates and already-selected targets deduped the way its
+    mnFuseTargetForKF stamp does)."""
+    K = st.caps.K
     neigh, w = mstate.best_covisible(st, kf_new, n_neighbors)
+    pair_ok = (w > 0) & st.kf_mask[neigh]                      # [nn]
+
+    if n_neighbors2:
+        # second-hop candidates: best covisibles of each one-hop target,
+        # excluding kf_new, the one-hop set, and dead keyframes
+        excl = sless.id_mask(jnp.concatenate([neigh, kf_new[None]]),
+                             jnp.concatenate([pair_ok, jnp.ones(1, bool)]),
+                             K)
+        rows = jnp.where((st.kf_mask & ~excl)[None, :], st.covis[neigh], -1)
+        rows = jnp.where(pair_ok[:, None], rows, -1)           # [nn,K]
+        idx2 = jnp.argsort(-rows, axis=1)[:, :n_neighbors2]
+        w2 = jnp.take_along_axis(rows, idx2, 1)
+        cand = idx2.reshape(-1).astype(jnp.int32)
+        cok = w2.reshape(-1) > 0
+        # first-occurrence dedupe across the flattened candidate list
+        keys = jnp.where(cok, cand, K)
+        order = jnp.argsort(keys, stable=True)
+        ks = keys[order]
+        first = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+        cok &= first[jnp.argsort(order)]
+        neigh = jnp.concatenate([neigh, cand])
+        pair_ok = jnp.concatenate([pair_ok, cok])
+
     obs_new = st.obs_lm[kf_new]
     has_lm = obs_new >= 0
     lm_ids = jnp.where(has_lm, obs_new, 0)
     lm_pos = st.lm_pos[lm_ids]
     lm_desc = st.lm_desc[lm_ids]
     base_mask = has_lm & st.lm_mask[lm_ids]
-    pair_ok = (w > 0) & st.kf_mask[neigh]                      # [nn]
 
     # forward: batched projection + window match over all neighbors
     def one(kc, ok_i):
@@ -244,11 +274,12 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
     # the same landmark may fuse into several neighbors)
     st = mstate.add_observations_multi(st, neigh, idxs, lm_ids, oks)
 
-    # reverse: the neighbors' landmarks projected into kf_new — binds the
+    # reverse: the targets' landmarks projected into kf_new — binds the
     # new keyframe's still-unbound keypoints to EXISTING map points before
     # they'd be re-triangulated as duplicates (reference: the second Fuse
-    # pass over vpFuseCandidates, src/LocalMapping.cc:850-870)
-    nn, N = n_neighbors, st.obs_lm.shape[1]
+    # pass over vpFuseCandidates gathered from ALL targets incl. second
+    # hops, src/LocalMapping.cc:778-870)
+    nn, N = neigh.shape[0], st.obs_lm.shape[1]
     obs_n = st.obs_lm[neigh]                                   # [nn,N]
     has_n = (obs_n >= 0) & st.kf_kp_mask[neigh] & pair_ok[:, None]
     lm2 = jnp.where(has_n, obs_n, 0).reshape(-1)               # [nn*N]
@@ -455,26 +486,63 @@ def lba_window_stats(st: mstate.MapState, center_kf: jax.Array,
 # observed by >=3 other keyframes; Nd=21 temporal window)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_check",))
+@partial(jax.jit, static_argnames=("n_check", "max_kills", "inertial",
+                                   "close_only"))
 def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
                              n_check: int = 10,
-                             redundancy: float = 0.9):
-    """Check the covisible neighbors of center_kf; remove up to TWO
+                             redundancy: float = 0.9,
+                             max_kills: int = 2,
+                             inertial: bool = False,
+                             close_only: bool = False,
+                             close_depth: float = 3.0,
+                             nd_window: int = 21):
+    """Check the covisible neighbors of center_kf; remove up to `max_kills`
     redundant KFs per call (the reference erases every redundant KF in the
-    local window per pass; two per keyframe keeps up in practice, and the
-    queue re-runs culling every cycle). One fused pass replaces the earlier
-    double invocation: the second candidate is scored with the first kill's
-    observations already discounted (sequential-cull semantics), and the
-    state update — the expensive whole-map select — is applied once."""
+    local window per pass; a small cap per keyframe keeps up in practice,
+    and the queue re-runs culling every cycle). One fused pass: each
+    subsequent candidate is scored with the previous kills' observations
+    already discounted (sequential-cull semantics), and the state update —
+    the expensive whole-map select — is applied once.
+
+    Sensor-aware policy (reference: LocalMapping::KeyFrameCulling,
+    src/LocalMapping.cc:904-1056):
+      * `redundancy` — 0.9 visual / mono-inertial, 0.5 stereo/RGB-D-inertial
+        (the caller picks; src/LocalMapping.cc:914-920);
+      * `close_only` — stereo/RGB-D count only CLOSE points (measured depth
+        in (0, close_depth)) toward the redundancy fraction
+        (src/LocalMapping.cc:962-965);
+      * `inertial` — temporal-chain guards: no culling until the map
+        exceeds `nd_window` keyframes, never the two newest, both temporal
+        neighbors must exist, and the post-kill time gap t = t_next-t_prev
+        must satisfy (imu_initialized AND older than the Nd most recent AND
+        t<3s) OR t<0.5s, with the pre-VIBA2 small-displacement branch
+        (<2 cm and t<3 s; camera-center displacement approximates the
+        reference's IMU-frame positions — the lever-arm delta is
+        second-order at 2 cm scale) (src/LocalMapping.cc:1012-1045).
+        Preintegration-window merging across the cull is the System's job
+        (Preintegrated::MergePrevious analogue, slam/system.py).
+
+    The reference additionally scale-gates the observer count (observers
+    must see the point at octave <= candidate octave+1); that needs a
+    per-landmark octave histogram this state does not maintain — with the
+    production RGB-D pyramid at 1 level it is a no-op, and for deep mono
+    pyramids it only makes culling LESS eager (deliberate cut, PARITY.md).
+    """
     K = st.caps.K
     neigh, w = mstate.best_covisible(st, center_kf, n_check)
 
     obs_valid = st.obs_lm >= 0                        # [K,N]
+    if close_only:
+        d = st.kf_depth
+        count_valid = obs_valid & jnp.isfinite(d) & (d > 0) & (d < close_depth)
+    else:
+        count_valid = obs_valid
     obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
     origin = jnp.argmax(st.kf_mask)
+    arangeK = jnp.arange(K, dtype=jnp.int32)
 
-    def redundancy_of(k, n_obs_adj):
-        row_valid = obs_valid[k]
+    def redundancy_of(k, n_obs_adj, killed):
+        row_valid = count_valid[k]
         lm = obs_safe[k]
         n_obs = jnp.take(st.lm_n_obs, lm) - jnp.take(n_obs_adj, lm)
         redundant = row_valid & (n_obs >= 4)   # seen by >=3 others + itself
@@ -483,45 +551,77 @@ def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
         frac = n_red.astype(jnp.float32) / jnp.maximum(n_total, 1)
         # never cull the newest KF, the map origin, or near-empty KFs
         protected = ((k == center_kf) | (k == origin) | (n_total < 30))
-        return jnp.where(st.kf_mask[k] & ~protected & (w[0] >= 0), frac, -1.0)
+        alive = st.kf_mask[k] & ~killed[k]
+        return jnp.where(alive & ~protected & (w[0] >= 0), frac, -1.0)
 
-    zero_adj = jnp.zeros((st.caps.L,), jnp.int32)
-    fracs = jax.vmap(redundancy_of, in_axes=(0, None))(neigh, zero_adj)
-    i1 = jnp.argmax(fracs)
-    kill1 = fracs[i1] >= redundancy
-    k1 = neigh[i1]
+    def inertial_gate(k, killed):
+        """Temporal-chain guards for one candidate given the kills so far."""
+        alive = st.kf_mask & ~killed
+        t_all = st.kf_time
+        t_k = t_all[k]
+        others = alive & (arangeK != k)
+        prev_key = jnp.where(others & (t_all < t_k), t_all, -jnp.inf)
+        next_key = jnp.where(others & (t_all > t_k), t_all, jnp.inf)
+        t_prev = jnp.max(prev_key)
+        t_next = jnp.min(next_key)
+        has_chain = jnp.isfinite(t_prev) & jnp.isfinite(t_next)
+        tgap = t_next - t_prev
+        # Nd-th most recent alive time + second-newest (descending sort)
+        sorted_t = -jnp.sort(jnp.where(alive, -t_all, jnp.inf))
+        not_newest2 = t_k < sorted_t[jnp.minimum(1, K - 1)]
+        older_than_window = t_k < sorted_t[jnp.minimum(nd_window, K - 1)]
+        ok_t = ((st.imu_initialized & older_than_window & (tgap < 3.0)) |
+                (tgap < 0.5))
+        # pre-VIBA2 barely-moved branch (reference uses IMU positions)
+        prev_slot = jnp.argmax(prev_key)
+        C_k = -jnp.einsum('ji,j->i', st.kf_R[k], st.kf_t[k])
+        C_p = -jnp.einsum('ji,j->i', st.kf_R[prev_slot], st.kf_t[prev_slot])
+        ok_d = (~st.imu_ba2 & (jnp.linalg.norm(C_k - C_p) < 0.02) &
+                (tgap < 3.0))
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        return ((n_alive > nd_window) & not_newest2 & has_chain &
+                (ok_t | ok_d))
 
-    # second candidate: discount observations the first kill removes
-    adj1 = sless.id_count(obs_safe[k1], obs_valid[k1] & kill1, st.caps.L)
-    fracs2 = jax.vmap(redundancy_of, in_axes=(0, None))(neigh, adj1)
-    fracs2 = fracs2.at[i1].set(-1.0)
-    i2 = jnp.argmax(fracs2)
-    kill2 = fracs2[i2] >= redundancy
-    k2 = neigh[i2]
+    # --- sequential candidate selection (unrolled; max_kills is small) ---
+    adj = jnp.zeros((st.caps.L,), jnp.int32)
+    killed = jnp.zeros((K,), bool)
+    kills, kflags = [], []
+    for _ in range(max_kills):
+        fracs = jax.vmap(redundancy_of, in_axes=(0, None, None))(
+            neigh, adj, killed)
+        i = jnp.argmax(fracs)
+        k_i = neigh[i]
+        kill = fracs[i] >= redundancy
+        if inertial:
+            kill &= inertial_gate(k_i, killed)
+        adj = adj + sless.id_count(obs_safe[k_i], obs_valid[k_i] & kill,
+                                   st.caps.L)
+        killed = killed | (kill & (arangeK == k_i))
+        kills.append(k_i)
+        kflags.append(kill)
 
-    # --- combined removal of {k1?, k2?} (cull_keyframe semantics x2) ---
-    kills = jnp.stack([k1, k2])
-    kflag = jnp.stack([kill1, kill2])
-    kill_mask = sless.id_mask(kills, kflag, K)                   # [K]
-    adj2 = sless.id_count(obs_safe[k2], obs_valid[k2] & kill2, st.caps.L)
+    # --- combined removal (cull_keyframe semantics x max_kills) ---
+    kills = jnp.stack(kills)
+    kflag = jnp.stack(kflags)
+    kill_mask = killed
     n_words = st.lm_obs_bits.shape[1]
     words = jax.vmap(mstate._kf_bit_words, in_axes=(0, None))(kills, n_words)
-    clear = jnp.where(kflag[0], words[0], 0) | jnp.where(kflag[1],
-                                                         words[1], 0)
+    clear = jnp.zeros_like(words[0])
+    for i in range(max_kills):
+        clear = clear | jnp.where(kflag[i], words[i], 0)
     # re-parent children of each killed KF to its parent (sequentially, so
-    # a k1->k2 parent chain resolves like two cull_keyframe calls)
+    # a k1->k2 parent chain resolves like successive cull_keyframe calls)
     parents = st.spanning_parent
-    for i in range(2):
+    for i in range(max_kills):
         p_of_k = parents[kills[i]]
         parents = jnp.where(kflag[i] & (parents == kills[i]), p_of_k,
                             parents)
-        parents = jnp.where(kflag[i] & (jnp.arange(K) == kills[i]), -1,
-                            parents)
+        parents = jnp.where(kflag[i] & (arangeK == kills[i]), -1, parents)
     return dataclasses.replace(
         st,
         kf_mask=st.kf_mask & ~kill_mask,
         obs_lm=jnp.where(kill_mask[:, None], -1, st.obs_lm),
-        lm_n_obs=st.lm_n_obs - adj1 - adj2,
+        lm_n_obs=st.lm_n_obs - adj,
         lm_obs_bits=st.lm_obs_bits & ~clear[None, :],
         covis=jnp.where(kill_mask[:, None] | kill_mask[None, :], 0,
                         st.covis),
@@ -537,14 +637,19 @@ def cull_redundant_keyframes(st: mstate.MapState, center_kf: jax.Array,
 
 @partial(jax.jit, static_argnames=("use_depth", "do_ba", "do_aux",
                                    "n_neighbors", "matcher_model",
-                                   "ba_iters"))
+                                   "ba_iters", "cull_inertial",
+                                   "cull_max_kills", "cull_close_only",
+                                   "fuse_two_hop"))
 def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
                   feat_depth, bind, R, t, time, frame_id,
                   use_depth: bool = False, do_ba: bool = True,
                   do_aux: bool = True,
                   max_depth: float = 40.0, n_neighbors: int = 5,
                   feat_octave=None, matcher_model=None, matcher_params=None,
-                  chain=None, ba_iters: int = 5):
+                  chain=None, ba_iters: int = 5,
+                  cull_redundancy: float = 0.9, cull_inertial: bool = False,
+                  cull_max_kills: int = 2, cull_close_only: bool = False,
+                  cull_close_depth: float = 3.0, fuse_two_hop: int = 0):
     """Insert a keyframe and run the full mapping pipeline. Returns
     (st, kf_slot, n_tracked, chain') where chain'/(corr) re-anchor the
     tracker's pose chain onto the BA-refined keyframe pose (reference:
@@ -572,15 +677,20 @@ def keyframe_step(st: mstate.MapState, cam, feat_xy, feat_valid, feat_desc,
                               matcher_model=matcher_model,
                               matcher_params=matcher_params)
     if do_aux:
-        st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors)
+        st = fuse_into_neighbors(st, cam, k, n_neighbors=n_neighbors,
+                                 n_neighbors2=fuse_two_hop)
     if do_ba:
         st = local_bundle_adjustment(st, cam, k, iters=ba_iters)
     if do_aux:
         st = cull_bad_landmarks(st, st.next_kf_counter)
-        # up to two redundant neighbors culled per keyframe (the reference
+        # a few redundant neighbors culled per keyframe (the reference
         # erases every redundant KF in the local window per pass) — one
-        # fused two-kill pass
-        st = cull_redundant_keyframes(st, k)
+        # fused multi-kill pass with sensor-aware policy
+        st = cull_redundant_keyframes(st, k, redundancy=cull_redundancy,
+                                      max_kills=cull_max_kills,
+                                      inertial=cull_inertial,
+                                      close_only=cull_close_only,
+                                      close_depth=cull_close_depth)
     chain_out = None
     if chain is not None:
         R_cur, t_cur, R_last, t_last = chain

@@ -57,7 +57,8 @@ class System:
                  enable_relocalization: bool = True,
                  pipelined: bool = False, detector=None, matcher="auto",
                  imu_calib=None, n_levels: int = 1,
-                 scale_factor: float = 1.2):
+                 scale_factor: float = 1.2,
+                 close_depth: float | None = None):
         # TPU default matmul precision is bfloat16 passes — fine for the
         # nets (they cast to bf16 explicitly) but FATAL for the f32 SLAM
         # geometry: pose solves/triangulation degrade until tracking dies
@@ -86,6 +87,27 @@ class System:
         # fuse/cull maintenance cadence (1 = reference behavior: every KF;
         # 2 halves the average keyframe-program device time)
         self.aux_every = 2
+        # sensor-aware keyframe-culling policy (reference:
+        # KeyFrameCulling thresholds, src/LocalMapping.cc:914-920):
+        # 0.5 redundancy for stereo/RGB-D-inertial, else 0.9; temporal
+        # guards for any inertial map; close-point-only counting when the
+        # settings provide a close/far depth threshold (mThDepth analogue —
+        # Settings.baseline * Settings.th_depth; None disables the gate,
+        # e.g. synthetic feature-level tests with no metric depth scale)
+        imu_sensor = sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
+                                Sensor.IMU_RGBD)
+        self.cull_redundancy = 0.5 if (imu_sensor and mode != "mono") else 0.9
+        self.cull_inertial = imu_sensor
+        self.cull_max_kills = 2
+        self.close_depth = close_depth
+        # covisible-of-covisible fuse targets (reference SearchInNeighbors
+        # second-hop extension, src/LocalMapping.cc:735-748): up to this
+        # many extra targets per one-hop neighbor, riding the aux cadence
+        self.fuse_two_hop = 4
+        # LBA iteration budget (reference first phase: 5 iterations,
+        # src/Optimizer.cc:1350-1365) and its under-pressure truncation
+        self.ba_iters = 5
+        self.ba_iters_pressure = 3
         self._kf_count = 0
         # deferred keyframe host pulls (overlap the keyframe program with
         # subsequent frames' host work; see _keyframe_step/_resolve_kf_pull)
@@ -354,9 +376,10 @@ class System:
         # InterruptBA when it wants a keyframe and LBA aborts mid-iteration,
         # src/Tracking.cc:3265 + mbAbortBA polling in LocalBundleAdjustment;
         # under rapid insertion the reference effectively runs FEWER LM
-        # iterations). Back-to-back keyframes here truncate 5 -> 3; the
+        # iterations). Back-to-back keyframes here truncate the budget; the
         # window re-solves at every keyframe, so truncation self-corrects.
-        ba_iters = 3 if (fid - self._last_kf_fid) <= 4 else 5
+        ba_iters = (self.ba_iters_pressure
+                    if (fid - self._last_kf_fid) <= 4 else self.ba_iters)
         self._last_kf_fid = fid
         st, k, n_tracked, chain = mapping.keyframe_step(
             tr.st, self.cam, feat.xy, feat.valid, feat.desc, feat.depth,
@@ -366,7 +389,14 @@ class System:
             max_depth=self.max_depth, feat_octave=feat.octave_or_zeros(),
             matcher_model=mm.model if mm is not None else None,
             matcher_params=mm.params if mm is not None else None,
-            chain=(tr.R, tr.t, tr.R_last, tr.t_last), ba_iters=ba_iters)
+            chain=(tr.R, tr.t, tr.R_last, tr.t_last), ba_iters=ba_iters,
+            cull_redundancy=self.cull_redundancy,
+            cull_inertial=self.cull_inertial,
+            cull_max_kills=self.cull_max_kills,
+            cull_close_only=self.close_depth is not None,
+            cull_close_depth=(self.close_depth
+                              if self.close_depth is not None else 3.0),
+            fuse_two_hop=self.fuse_two_hop)
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
         # re-anchor the tracker's pose chain onto the BA-refined keyframe

@@ -241,3 +241,115 @@ class TestTwoKillRedundantCull:
         assert kept == 4, "exactly one of the n_obs=4 observers may go"
         np.testing.assert_array_equal(np.asarray(st2.lm_n_obs),
                                       self._obs_counts(st2))
+
+
+class TestSensorAwareCulling(TestTwoKillRedundantCull):
+    """Sensor-aware KeyFrameCulling policy (reference:
+    src/LocalMapping.cc:904-1056): close-point-only counting for
+    depth sensors, temporal-chain guards for inertial maps, and the
+    configurable per-pass kill cap."""
+
+    def _base_t(self, binds, times=None, spread=0.0, depth=None):
+        """Like _base but with per-KF timestamps and optional pose spread
+        (x offset per KF) and a shared per-keypoint depth row."""
+        import dataclasses
+        st = mstate.empty_map(self.CAPS2)
+        st, _ = mstate.insert_landmarks(
+            st, jnp.zeros((128, 3)), jnp.zeros((128, self.CAPS2.D)),
+            jnp.zeros((128, 3)), jnp.zeros(128), jnp.ones(128),
+            jnp.zeros(128, jnp.int32), jnp.zeros(128, jnp.int32),
+            jnp.ones(128, bool))
+        N = self.CAPS2.N
+        dep = (jnp.asarray(depth) if depth is not None
+               else jnp.full((N,), jnp.inf))
+        for i, b in enumerate(binds):
+            t = times[i] if times is not None else float(i)
+            st, _ = mstate.insert_keyframe(
+                st, jnp.eye(3), jnp.asarray([spread * i, 0.0, 0.0]),
+                t, jnp.asarray(i),
+                jnp.zeros((N, 2)), jnp.ones((N,), bool),
+                jnp.zeros((N, self.CAPS2.D)), dep,
+                jnp.zeros((N,), jnp.int8), jnp.asarray(b, jnp.int32))
+        return st
+
+    def test_close_only_ignores_far_points(self):
+        from dani_slam_tpu.slam import mapping
+        # 40 redundant close points + 32 far singleton points per KF:
+        # overall redundancy 40/72 < 0.9 (no kill), close-only 40/40 = 1.0
+        N = self.CAPS2.N
+        binds = []
+        for i in range(5):
+            row = list(range(40)) + list(range(40 + 17 * i, 57 + 17 * i))
+            row += [-1] * (N - len(row))
+            binds.append(row)
+        depth = np.full(N, 50.0)
+        depth[:40] = 1.0                     # close, under close_depth=3
+        st = self._base_t(binds, depth=depth)
+        st_far = mapping.cull_redundant_keyframes(
+            st, jnp.asarray(4), close_only=False)
+        assert int(np.sum(np.asarray(st_far.kf_mask))) == 5
+        st_close = mapping.cull_redundant_keyframes(
+            st, jnp.asarray(4), close_only=True, close_depth=3.0)
+        assert int(np.sum(np.asarray(st_close.kf_mask))) == 3
+        np.testing.assert_array_equal(np.asarray(st_close.lm_n_obs),
+                                      self._obs_counts(st_close))
+
+    def test_inertial_blocks_small_maps(self):
+        from dani_slam_tpu.slam import mapping
+        bind = [list(range(40)) + [-1] * 24] * 5
+        st = self._base_t(bind, times=[0.0, 0.1, 0.2, 0.3, 0.4])
+        st2 = mapping.cull_redundant_keyframes(
+            st, jnp.asarray(4), inertial=True, nd_window=6)
+        assert int(np.sum(np.asarray(st2.kf_mask))) == 5  # map <= Nd: no cull
+        st3 = mapping.cull_redundant_keyframes(
+            st, jnp.asarray(4), inertial=True, nd_window=4)
+        assert int(np.sum(np.asarray(st3.kf_mask))) < 5   # map > Nd: culls
+
+    def test_inertial_time_gap_guard(self):
+        import dataclasses
+        from dani_slam_tpu.slam import mapping
+        bind = [list(range(40)) + [-1] * 24] * 6
+        # 1.0 s spacing -> post-kill gap 2.0 s: only allowed once the IMU is
+        # initialized AND the candidate left the Nd temporal window; poses
+        # spread >2 cm so the barely-moved branch stays off
+        st = self._base_t(bind, times=[0.0, 1.0, 2.0, 3.0, 4.0, 5.0],
+                          spread=0.5)
+        st2 = mapping.cull_redundant_keyframes(
+            st, jnp.asarray(5), inertial=True, nd_window=2)
+        assert int(np.sum(np.asarray(st2.kf_mask))) == 6  # not initialized
+        st_on = dataclasses.replace(st, imu_initialized=jnp.ones((), bool))
+        st3 = mapping.cull_redundant_keyframes(
+            st_on, jnp.asarray(5), inertial=True, nd_window=2)
+        assert int(np.sum(np.asarray(st3.kf_mask))) < 6
+        # 10 s spacing: post-kill gap 20 s > 3 s — never allowed
+        st_wide = self._base_t(bind, times=[0, 10, 20, 30, 40, 50],
+                               spread=0.5)
+        st_wide = dataclasses.replace(st_wide,
+                                      imu_initialized=jnp.ones((), bool))
+        st4 = mapping.cull_redundant_keyframes(
+            st_wide, jnp.asarray(5), inertial=True, nd_window=2)
+        assert int(np.sum(np.asarray(st4.kf_mask))) == 6
+
+    def test_inertial_dense_chain_and_newest_protected(self):
+        from dani_slam_tpu.slam import mapping
+        bind = [list(range(40)) + [-1] * 24] * 6
+        # 0.2 s spacing -> gap 0.4 s < 0.5 s: killable even pre-init,
+        # but never the two newest
+        st = self._base_t(bind, times=[0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+                          spread=0.5)
+        st2 = mapping.cull_redundant_keyframes(
+            st, jnp.asarray(5), inertial=True, nd_window=2, max_kills=6)
+        mask = np.asarray(st2.kf_mask)
+        assert mask[5] and mask[0]            # center + origin protected
+        assert mask[4]                        # second-newest protected
+        assert int(mask.sum()) < 6            # middle ones culled
+
+    def test_max_kills_cap(self):
+        from dani_slam_tpu.slam import mapping
+        bind = [list(range(40)) + [-1] * 24] * 7
+        st = self._base_t(bind)
+        st3 = mapping.cull_redundant_keyframes(st, jnp.asarray(6),
+                                               max_kills=3)
+        assert int(np.sum(np.asarray(st3.kf_mask))) == 4
+        np.testing.assert_array_equal(np.asarray(st3.lm_n_obs),
+                                      self._obs_counts(st3))
