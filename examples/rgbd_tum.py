@@ -30,6 +30,18 @@ def main():
     ap.add_argument("--viz", action="store_true")
     ap.add_argument("--detector", action="store_true",
                     help="enable YOLO dynamic masking")
+    ap.add_argument("--superpoint-pt", default="",
+                    help="official MagicLeap superpoint_v1.pth checkpoint "
+                    "(reference loads it at src/SPextractor.cpp:86); "
+                    "converted via models/superpoint.load_magicleap_pt")
+    ap.add_argument("--lightglue-pt", default="",
+                    help="official cvg/LightGlue checkpoint (TorchScript "
+                    "archive or state dict; reference src/LightGlue.cpp:9); "
+                    "converted via models/lightglue_official.load_lightglue_pt")
+    ap.add_argument("--yolov5-pt", default="",
+                    help="official yolov5s checkpoint (reference "
+                    "src/YoloDetect.cpp:9); converted via "
+                    "models/yolo_official.load_yolov5_pt — implies --detector")
     ap.add_argument("--time-stats", action="store_true",
                     help="per-stage device timing pass (reference "
                     "REGISTER_TIMES): writes TrackingTimeStats.txt / "
@@ -47,13 +59,31 @@ def main():
     verbose.print_mess(str(settings))
     cam = settings.camera()
     detector = None
-    if args.detector:
+    if args.yolov5_pt:
+        from dani_slam_tpu.models.yolo_official import load_yolov5_pt
+        detector = load_yolov5_pt(args.yolov5_pt)
+    elif args.detector:
         from dani_slam_tpu.models.yolo import Detector
         detector = Detector()
+    sp_params = None
+    if args.superpoint_pt:
+        from dani_slam_tpu.models.superpoint import load_magicleap_pt
+        sp_params = load_magicleap_pt(args.superpoint_pt)
+    matcher = "auto"
+    if args.lightglue_pt:
+        from dani_slam_tpu.models.lightglue_official import load_lightglue_pt
+        matcher = load_lightglue_pt(args.lightglue_pt, cam.width, cam.height)
 
+    # close/far point threshold in meters (reference mThDepth =
+    # bf * ThDepth / fx, src/Tracking.cc:1179); gates close-point-only
+    # keyframe-culling counting when the settings carry a baseline
+    close_depth = (settings.baseline * settings.th_depth
+                   if settings.baseline else None)
     sys_ = System(cam, Sensor.RGBD,
                   caps=mstate.MapCaps(N=settings.n_features),
                   n_features=settings.n_features, detector=detector,
+                  sp_params=sp_params, matcher=matcher,
+                  close_depth=close_depth,
                   pipelined=True)
 
     assoc = io_utils.load_tum_associations(args.associations)
@@ -94,7 +124,8 @@ def main():
         prof_sys = System(cam, Sensor.RGBD,
                           caps=mstate.MapCaps(N=settings.n_features),
                           n_features=settings.n_features,
-                          detector=detector, pipelined=True)
+                          detector=detector, sp_params=sp_params,
+                          matcher=matcher, pipelined=True)
         tt, mt = stage_profile.profile_rgbd_stages(prof_sys, imgs, deps,
                                                    tdevs)
         stage_profile.save_stats(tt, mt, prefix=pre)
