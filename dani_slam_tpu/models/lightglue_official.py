@@ -271,6 +271,39 @@ def load_lightglue_pt(path: str, width: int = 640, height: int = 480):
     return MatcherState(params, model, width, height)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=2)
+def _load_official_weights():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "lightglue_official_synthetic.npz")
+    if not os.path.exists(path):
+        return None, None
+    from dani_slam_tpu.models.superpoint_train import load_params
+    params = load_params(path)
+    model = LightGlueOfficial(dim=256, depth=9, input_dim=256)
+    return params, model
+
+
+def load_official_matcher(width: int = 640, height: int = 480):
+    """Load the shipped reference-scale matcher weights if present
+    (dani_slam_tpu/weights/lightglue_official_synthetic.npz, produced by
+    `python -m dani_slam_tpu.models.lightglue_train --official`) — the
+    faithful 256-dim x 9-layer architecture the reference deploys
+    (src/LightGlue.cpp:9), trained on the synthetic homography task.
+    Returns a MatcherState interchangeable with the compact production
+    matcher, or None when the weights are absent. Memoized: the ~50 MB
+    state dict is staged to device once per process."""
+    params, model = _load_official_weights()
+    if params is None:
+        return None
+    from dani_slam_tpu.models.lightglue import MatcherState
+    return MatcherState(params, model, width, height)
+
+
 def reference_forward_torch(sd: dict, xy0n, xy1n, d0, d1):
     """NumPy/torch oracle of the official forward (fixed depth, no pruning)
     for converter tests — computes the final log-assignment inner block the

@@ -284,6 +284,42 @@ def load_yolov5_pt(path: str, input_hw: Tuple[int, int] = (384, 640),
                     input_hw=input_hw, score_th=score_th)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=1)
+def load_official_detector():
+    """Load the shipped reference-scale detector weights if present
+    (dani_slam_tpu/weights/yolo_official_synthetic.npz, produced by
+    `python -m dani_slam_tpu.models.yolo_train --official`) — the faithful
+    yolov5s graph (depth 0.33 / width 0.50, 80-class head) the reference
+    deploys (src/YoloDetect.cpp:9), trained on the synthetic movable-object
+    scenes. Returns a yolo.Detector interchangeable with the compact one,
+    or None when the weights are absent. Memoized: the state dict is staged
+    to device once per process."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "weights",
+                        "yolo_official_synthetic.npz")
+    if not os.path.exists(path):
+        return None
+    from dani_slam_tpu.models.superpoint_train import load_params
+    from dani_slam_tpu.models.yolo import Detector
+    data = np.load(path)
+    meta = data["__meta__"]
+    _, nc, ih, iw = (int(v) for v in meta)
+    params = load_params(path)
+    params.pop("__meta__", None)
+    model = YoloV5Net(num_classes=nc, depth_multiple=0.33,
+                      width_multiple=0.50)
+    # synthetic scenes label movable=class0 / static=class1; score_th as
+    # calibrated for the synthetic-trained compact detector (yolo.py)
+    return Detector(params=params, model=model, input_hw=(ih, iw),
+                    dynamic_class_ids=(0,), score_th=0.75)
+
+
 # ---------------------------------------------------------------------------
 # Torch oracle for converter tests (walks the state dict directly)
 # ---------------------------------------------------------------------------

@@ -203,9 +203,17 @@ def yolo_loss(params, model: YoloNet, imgs, gt_boxes, gt_cls, gt_valid,
 
 def train_yolo(steps: int = 1200, batch: int = 16, h: int = 192,
                w: int = 256, width: int = 16, num_classes: int = 2,
-               lr: float = 1e-3, seed: int = 0, log_every: int = 0):
+               lr: float = 1e-3, seed: int = 0, log_every: int = 0,
+               model=None):
+    """`model` overrides the compact YoloNet with any module sharing the
+    head-output contract — e.g. yolo_official.YoloV5Net at the yolov5s
+    multiples (0.33/0.50), the size the reference deploys
+    (src/YoloDetect.cpp:9)."""
     rng = np.random.RandomState(seed)
-    model = YoloNet(num_classes=num_classes, width=width)
+    if model is None:
+        model = YoloNet(num_classes=num_classes, width=width)
+    else:
+        num_classes = model.num_classes
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
     tx = optax.chain(optax.clip_by_global_norm(5.0),
                      optax.adamw(optax.cosine_decay_schedule(lr, steps)))
@@ -277,16 +285,36 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--width", type=int, default=16)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "weights", "yolo_synthetic.npz"))
+    ap.add_argument("--official", action="store_true",
+                    help="train the reference-scale yolov5s architecture "
+                    "(v6.0 graph, depth 0.33 / width 0.50, 80-class head) "
+                    "at 384x512 input instead of the compact layout")
+    ap.add_argument("--out", default="")
     args = ap.parse_args()
-    params, model, loss = train_yolo(steps=args.steps, batch=args.batch,
-                                     width=args.width, log_every=50)
-    prec, rec, n_gt = evaluate_detector(params, model)
+    if not args.out:
+        args.out = os.path.join(
+            os.path.dirname(__file__), "..", "weights",
+            "yolo_official_synthetic.npz" if args.official
+            else "yolo_synthetic.npz")
+    if args.official:
+        from dani_slam_tpu.models.yolo_official import YoloV5Net
+        h, w = 384, 512
+        model_in = YoloV5Net(num_classes=80, depth_multiple=0.33,
+                             width_multiple=0.50)
+        params, model, loss = train_yolo(steps=args.steps, batch=args.batch,
+                                         h=h, w=w, model=model_in,
+                                         log_every=50)
+        meta = np.asarray([0, 80, h, w], np.int32)   # width 0 = official
+    else:
+        h, w = 192, 256
+        params, model, loss = train_yolo(steps=args.steps, batch=args.batch,
+                                         width=args.width, log_every=50)
+        meta = np.asarray([args.width, 2, h, w], np.int32)
+    prec, rec, n_gt = evaluate_detector(params, model, h=h, w=w)
     print(f"held-out: precision {prec:.3f} recall {rec:.3f} (gt {n_gt})")
     save_params(args.out, params)
-    # append config metadata (consumed by yolo.load_default_detector)
+    # append config metadata (consumed by the detector loaders)
     data = dict(np.load(args.out))
-    data["__meta__"] = np.asarray([args.width, 2, 192, 256], np.int32)
+    data["__meta__"] = meta
     np.savez_compressed(args.out, **data)
     print("saved", args.out)
