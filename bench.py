@@ -12,8 +12,12 @@ Per frame the hot path is ONE XLA program (tracking.rgbd_frame_fused:
 detector -> frontend -> track -> velocity -> ref-pose), dispatched through
 System.track_rgbd.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = measured_fps / 60.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — value is
+the MEDIAN of three timed passes; vs_baseline = median_fps / 60. The same
+line carries two sub-benchmarks: "official" (the identical workload with
+the reference-scale official LightGlue 256x9 matcher + yolov5s detector)
+and "loop" (per-keyframe wall latency of the full loop-closing pipeline on
+a drifted loop map, firing detection + correction + time-sliced GBA).
 """
 from __future__ import annotations
 
@@ -143,9 +147,10 @@ def main():
     import sys as _sys
     debug = bool(os.environ.get("BENCH_DEBUG"))
 
-    def make_system():
+    def make_system(detector=det, matcher="auto"):
         sys = System(cam, Sensor.RGBD, caps=caps, sp_params=sp_params,
-                     n_features=n_feat, pipelined=True, detector=det)
+                     n_features=n_feat, pipelined=True, detector=detector,
+                     matcher=matcher)
         sys.sp_threshold = 0.012
         # drain construction-time device work (map-state alloc, weight
         # staging) BEFORE the caller's timer starts: the reference times
@@ -178,12 +183,11 @@ def main():
     # BA) compiles
     run_sequence(make_system())
 
-    # timed passes on fresh systems (all programs cached). Best-of-3: the
-    # axon transport's round-trip latency swings 0.1->30+ ms with tenant
-    # contention on a minutes timescale, which is transport luck, not
-    # workload speed — the best pass measures the pipeline (standard
-    # min-latency benchmark reporting). Every pass runs the FULL honest
-    # workload; the honesty checks below run on the last pass's system.
+    # timed passes on fresh systems (all programs cached). The axon
+    # transport's round-trip latency swings 0.1->30+ ms with tenant
+    # contention on a minutes timescale; three passes are taken and the
+    # MEDIAN is the reported value (the gate number must hold for a typical
+    # run, not the luckiest one — round-3 review), with all runs printed.
     fps_runs = []
     for _ in range(3):
         sys = make_system()
@@ -191,7 +195,7 @@ def main():
         n_ok = run_sequence(sys)
         dt = time.perf_counter() - t0
         fps_runs.append(n_frames / dt)
-    fps = max(fps_runs)
+    fps = float(np.median(fps_runs))
 
     # honesty checks: the timed pass must have done REAL SLAM work and the
     # detector must have seen the moving object inside the timed loop
@@ -206,6 +210,91 @@ def main():
           f"{n_lm} landmarks, detector-on (last dyn_ratio {dyn:.3f})",
           file=_sys.stderr)
 
+    # ---- reference-scale models: the SAME workload with the official
+    # LightGlue (256-dim x 9 layers) as the System matcher and yolov5s
+    # (0.33/0.50) as the detector — the sizes the reference deploys
+    # (src/LightGlue.cpp:9, src/YoloDetect.cpp:9). Records FPS at official
+    # model scale (round-3 review: the headline number alone is conditioned
+    # on the compact throughput-tuned nets).
+    official = None
+    if not os.environ.get("BENCH_SKIP_OFFICIAL"):
+        from dani_slam_tpu.models.lightglue_official import \
+            load_official_matcher
+        from dani_slam_tpu.models.yolo_official import load_official_detector
+        mo = load_official_matcher(cam.width, cam.height)
+        do = load_official_detector()
+        if mo is not None and do is not None:
+            mk = lambda: make_system(detector=do, matcher=mo)
+            run_sequence(mk())                       # warmup/compile pass
+            fps_o_runs = []
+            for _ in range(3):
+                sys_o = mk()
+                t0 = time.perf_counter()
+                n_ok_o = run_sequence(sys_o)
+                fps_o_runs.append(n_frames / (time.perf_counter() - t0))
+            n_kf_o = int(np.asarray(sys_o.tracker.st.kf_mask).sum())
+            n_lm_o = int(np.asarray(sys_o.tracker.st.lm_mask).sum())
+            dyn_o = float(np.asarray(sys_o.tracker.dynamic_ratio)) \
+                if sys_o.tracker.dynamic_ratio is not None else 0.0
+            assert n_ok_o >= 0.85 * n_frames, \
+                f"official: only {n_ok_o}/{n_frames} frames tracked"
+            assert n_kf_o >= 5 and n_lm_o >= 1000, (n_kf_o, n_lm_o)
+            assert dyn_o > 0.0, "official detector never fired"
+            official = {
+                "metric": "tracking_fps_official_lg256x9_yolov5s",
+                "value": round(float(np.median(fps_o_runs)), 2),
+                "runs": [round(f, 2) for f in fps_o_runs],
+            }
+            print(f"official-scale: {official['value']} FPS "
+                  f"(runs {official['runs']}), {n_kf_o} kf {n_lm_o} lm",
+                  file=_sys.stderr)
+        else:
+            print("official-scale weights absent — skipping official pass",
+                  file=_sys.stderr)
+
+    # ---- loop closure under time pressure: per-keyframe wall latency of
+    # the full loop-closing pipeline (BoW detect -> Sim3 verify -> correct
+    # -> time-sliced GBA chunks -> weld) on a deterministic drifted loop
+    # map at production capacities (reference: LoopClosing::Run,
+    # src/LoopClosing.cc:91-320; round-3 review asked for an on-device
+    # number for the keyframe-rate cost under loop pressure).
+    loop = None
+    if not os.environ.get("BENCH_SKIP_LOOP"):
+        from dani_slam_tpu.slam.loopclosing import LoopCloser
+        from dani_slam_tpu.utils.synthetic import make_drifted_loop_state
+
+        st0, kf_ids, _, _ = make_drifted_loop_state(cam, caps, K=16)
+        jax.block_until_ready(st0.kf_R)
+
+        def run_loop_pass():
+            lc = LoopCloser(cam, caps, codebook="live", seed=0,
+                            min_kf_gap=6, fix_scale=True)
+            lc.train_codebook_after = 6
+            st = st0
+            ms = []
+            for count, k in enumerate(kf_ids, start=1):
+                t0 = time.perf_counter()
+                st = lc.on_keyframe(st, k, kf_count=count)
+                jax.block_until_ready(st.kf_R)
+                ms.append(1e3 * (time.perf_counter() - t0))
+            st = lc.finish_gba(st, jnp.asarray(kf_ids[-1]))
+            jax.block_until_ready(st.kf_R)
+            return lc, ms
+
+        run_loop_pass()                               # warmup/compile pass
+        lc, loop_ms = run_loop_pass()
+        assert lc.n_loops == 1, f"loop not closed (n_loops={lc.n_loops})"
+        loop = {
+            "metric": "loop_close_kf_latency",
+            "median_ms": round(float(np.median(loop_ms)), 2),
+            "max_ms": round(float(np.max(loop_ms)), 2),
+            "n_keyframes": len(loop_ms),
+            "n_loops": lc.n_loops,
+        }
+        print(f"loop pressure: median {loop['median_ms']} ms/KF, "
+              f"max {loop['max_ms']} ms (corrective KF), loop closed",
+              file=_sys.stderr)
+
     # optional per-stage device-time breakdown (reference REGISTER_TIMES
     # analogue: TrackingTimeStats.txt / LocalMapTimeStats.txt / ExecMean.txt)
     if os.environ.get("BENCH_STAGES"):
@@ -217,14 +306,19 @@ def main():
             print(f"stage {name}: {s['mean_ms']:.2f} ms (n={s['count']})",
                   file=_sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "tracking_fps_image_rgbd_640x480_sp1024_yolo",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
         "detector": True,
         "runs": [round(f, 2) for f in fps_runs],
-    }))
+    }
+    if official is not None:
+        out["official"] = official
+    if loop is not None:
+        out["loop"] = loop
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -639,7 +639,15 @@ class LoopCloser:
                  run_gba: bool = True, fix_scale: bool = False):
         self.cam = cam
         key = jax.random.PRNGKey(seed)
-        if codebook is None:
+        live = isinstance(codebook, str) and codebook == "live"
+        if live:
+            # force the live-vocabulary path even when a shipped vocabulary
+            # exists — for synthetic-descriptor workloads (random unit
+            # vectors) where the SuperPoint-domain vocabulary quantizes
+            # degenerately (e.g. the on-device loop bench)
+            self.codebook = vocab.random_codebook(key, 512, caps.D)
+            codebook = None
+        elif codebook is None:
             # shipped pre-trained vocabulary (reference loads
             # superpoint_voc.yml before tracking, src/System.cc:117-127)
             codebook = vocab.load_default_codebook(caps.D)
@@ -654,7 +662,7 @@ class LoopCloser:
         # (e.g. synthetic-feature tests at D=64), train spherical k-means on
         # the map's own descriptors once enough keyframes exist, then
         # rebuild the database rows
-        self._codebook_trained = codebook is not None
+        self._codebook_trained = codebook is not None and not live
         self.train_codebook_after = 8
         self.key = key
         self.min_kf_gap = min_kf_gap

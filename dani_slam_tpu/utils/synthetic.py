@@ -196,3 +196,104 @@ def render_image_depth(world_pts, brightness, cam: _cam.Camera, R_cw, t_cw,
     depth_enc = np.where(np.isfinite(depth) & (scaled <= 65535.0), scaled,
                          0).astype(np.uint16)
     return np.clip(img, 0, 255).astype(np.uint8), depth_enc
+
+
+def make_drifted_loop_state(cam: _cam.Camera, caps, K: int = 12,
+                            drift: float = 0.35, scale_drift: float = 1.0,
+                            desc_dim: int | None = None, seed: int = 2):
+    """Deterministic drifted loop map for loop-closing tests and the
+    on-device loop bench: a full orbit whose estimated keyframe poses carry
+    accumulated drift (and optionally mono-style scale drift), with a
+    covisibility chain along the orbit but NOT across the loop gap
+    (last->first) — only a loop edge can close it. Returns
+    (MapState, kf_ids, (R_gt, t_gt), world).
+
+    This is the state the reference's LoopClosing thread faces after
+    playback of a drifted loop (src/LoopClosing.cc:91-320); an emergent
+    image-level loop e2e is flaky by construction (returning to a known
+    area usually rebinds old landmarks directly), so the drifted map is
+    built explicitly.
+    """
+    from dani_slam_tpu.core import state as mstate
+
+    world = make_world(2000, desc_dim=desc_dim or caps.D, seed=seed)
+    R_gt, t_gt = orbit_trajectory(K, radius=10.0, angle_span=2 * np.pi)
+    st = mstate.empty_map(caps)
+    kf_ids = []
+    world2lm = {}        # world point id -> landmark slot (chain memory)
+    C_prev_est = None
+    for k in range(K):
+        # drift ramps up along the trajectory (none at k=0)
+        a = drift * k / (K - 1)
+        dxi = jnp.asarray([a, 0.5 * a, 0.0, 0.0, 0.05 * a, 0.0],
+                          jnp.float32)
+        dR, dt = lie.se3_exp(dxi)
+        # mono-style scale drift: each segment's length (and the local
+        # structure created at that keyframe) is off by s_k, ramping
+        # 1 -> scale_drift along the chain
+        s_k = 1.0 + (scale_drift - 1.0) * k / (K - 1)
+        if scale_drift != 1.0:
+            C_gt_k = -np.asarray(R_gt[k]).T @ np.asarray(t_gt[k])
+            if C_prev_est is None:
+                C_est = C_gt_k
+            else:
+                C_gt_p = -np.asarray(R_gt[k - 1]).T @ np.asarray(
+                    t_gt[k - 1])
+                C_est = C_prev_est + s_k * (C_gt_k - C_gt_p)
+            C_prev_est = C_est
+            R_est = R_gt[k]
+            t_est = jnp.asarray(-np.asarray(R_gt[k]) @ C_est, jnp.float32)
+        else:
+            R_est = dR @ R_gt[k]
+            t_est = dR @ t_gt[k] + dt
+
+        # desc noise produces an ANGULAR perturbation of ~noise*sqrt(D):
+        # scale by 1/sqrt(D/64) so the matching difficulty is invariant to
+        # the descriptor width (at D=256 the default 0.05 puts same-landmark
+        # distances right at the 0.9 match gate and association collapses)
+        dnoise = 0.05 * (64.0 / world.desc.shape[1]) ** 0.5
+        feat, tid = render_frame(
+            world, cam, R_gt[k], t_gt[k], n_max=caps.N, noise_px=0.2,
+            desc_noise=dnoise, seed=100 + k, with_depth=True, time=k / 5.0)
+        if scale_drift != 1.0:
+            # local structure scale follows the drifted segment scale
+            feat = feat._replace(depth=feat.depth * s_k)
+        # landmarks: create from depth at the ESTIMATED pose (consistent
+        # with the drifted trajectory, like real accumulated drift); but
+        # REBIND world points already seen by the PREVIOUS keyframe so a
+        # covisibility chain (odometry edges) exists — except across the
+        # loop gap (last->first), which only the loop edge closes.
+        rays = _cam.unproject(cam, feat.xy)
+        Xc = rays * feat.depth[:, None]
+        Xw = lie.se3_apply(*lie.se3_inv(R_est, t_est), Xc)
+        good = np.asarray(feat.valid & jnp.isfinite(feat.depth))
+        tid_np = np.asarray(tid)
+        bind = np.full(caps.N, -1, np.int32)
+        create = good.copy()
+        for row in range(caps.N):
+            wid = tid_np[row]
+            if good[row] and wid in world2lm:
+                # rebind (keeps landmark position from first sighting)
+                bind[row] = world2lm[wid]
+                create[row] = False
+        st, slots = mstate.insert_landmarks(
+            st, Xw, feat.desc, Xw, jnp.zeros(caps.N) + 0.5,
+            jnp.zeros(caps.N) + 50.0,
+            jnp.full((caps.N,), k, jnp.int32),
+            jnp.full((caps.N,), k, jnp.int32), jnp.asarray(create))
+        slots_np = np.asarray(slots)
+        for row in range(caps.N):
+            if create[row] and slots_np[row] >= 0:
+                bind[row] = slots_np[row]
+                world2lm[tid_np[row]] = int(slots_np[row])
+        st, kf = mstate.insert_keyframe(
+            st, R_est, t_est, k / 5.0, jnp.asarray(k), feat.xy,
+            feat.valid, feat.desc, feat.depth,
+            jnp.zeros((caps.N,), jnp.int8), jnp.asarray(bind))
+        kf_ids.append(int(kf))
+        # forget landmarks not seen by this KF: next KF can only rebind
+        # what the previous frame saw (keeps the chain local, so the
+        # loop gap stays unconnected)
+        seen_now = set(tid_np[good].tolist())
+        world2lm = {w: l for w, l in world2lm.items() if w in seen_now}
+    return st, kf_ids, (R_gt, t_gt), world

@@ -105,87 +105,8 @@ class TestLoopClosing:
 
     def _drifted_loop_state(self, K=12, n_lm_per_kf=80, drift=0.35,
                             scale_drift=1.0):
-        from dani_slam_tpu.core import lie
-        world = synthetic.make_world(2000, desc_dim=64, seed=2)
-        R_gt, t_gt = synthetic.orbit_trajectory(K, radius=10.0,
-                                                angle_span=2 * np.pi)
-        st = mstate.empty_map(CAPS)
-        rng = np.random.RandomState(0)
-        kf_ids = []
-        world2lm = {}        # world point id -> landmark slot (chain memory)
-        C_prev_est = None
-        for k in range(K):
-            # drift ramps up along the trajectory (none at k=0)
-            a = drift * k / (K - 1)
-            dxi = jnp.asarray([a, 0.5 * a, 0.0, 0.0, 0.05 * a, 0.0],
-                              jnp.float32)
-            dR, dt = lie.se3_exp(dxi)
-            # mono-style scale drift: each segment's length (and the local
-            # structure created at that keyframe) is off by s_k, ramping
-            # 1 -> scale_drift along the chain
-            s_k = 1.0 + (scale_drift - 1.0) * k / (K - 1)
-            if scale_drift != 1.0:
-                C_gt_k = -np.asarray(R_gt[k]).T @ np.asarray(t_gt[k])
-                if C_prev_est is None:
-                    C_est = C_gt_k
-                else:
-                    C_gt_p = -np.asarray(R_gt[k - 1]).T @ np.asarray(
-                        t_gt[k - 1])
-                    C_est = C_prev_est + s_k * (C_gt_k - C_gt_p)
-                C_prev_est = C_est
-                R_est = R_gt[k]
-                t_est = jnp.asarray(-np.asarray(R_gt[k]) @ C_est,
-                                    jnp.float32)
-            else:
-                R_est = dR @ R_gt[k]
-                t_est = dR @ t_gt[k] + dt
-
-            feat, tid = synthetic.render_frame(
-                world, CAM, R_gt[k], t_gt[k], n_max=CAPS.N, noise_px=0.2,
-                seed=100 + k, with_depth=True, time=k / 5.0)
-            if scale_drift != 1.0:
-                # local structure scale follows the drifted segment scale
-                feat = feat._replace(depth=feat.depth * s_k)
-            # landmarks: create from depth at the ESTIMATED pose (consistent
-            # with the drifted trajectory, like real accumulated drift); but
-            # REBIND world points already seen by the PREVIOUS keyframe so a
-            # covisibility chain (odometry edges) exists — except across the
-            # loop gap (last->first), which only the loop edge closes.
-            from dani_slam_tpu.core import cameras as camod
-            rays = camod.unproject(CAM, feat.xy)
-            Xc = rays * feat.depth[:, None]
-            Xw = lie.se3_apply(*lie.se3_inv(R_est, t_est), Xc)
-            good = np.asarray(feat.valid & jnp.isfinite(feat.depth))
-            tid_np = np.asarray(tid)
-            bind = np.full(CAPS.N, -1, np.int32)
-            create = good.copy()
-            for row in range(CAPS.N):
-                wid = tid_np[row]
-                if good[row] and wid in world2lm and k < K:
-                    # rebind (keeps landmark position from first sighting)
-                    bind[row] = world2lm[wid]
-                    create[row] = False
-            st, slots = mstate.insert_landmarks(
-                st, Xw, feat.desc, Xw, jnp.zeros(CAPS.N) + 0.5,
-                jnp.zeros(CAPS.N) + 50.0,
-                jnp.full((CAPS.N,), k, jnp.int32),
-                jnp.full((CAPS.N,), k, jnp.int32), jnp.asarray(create))
-            slots_np = np.asarray(slots)
-            for row in range(CAPS.N):
-                if create[row] and slots_np[row] >= 0:
-                    bind[row] = slots_np[row]
-                    world2lm[tid_np[row]] = int(slots_np[row])
-            st, kf = mstate.insert_keyframe(
-                st, R_est, t_est, k / 5.0, jnp.asarray(k), feat.xy,
-                feat.valid, feat.desc, feat.depth,
-                jnp.zeros((CAPS.N,), jnp.int8), jnp.asarray(bind))
-            kf_ids.append(int(kf))
-            # forget landmarks not seen by this KF: next KF can only rebind
-            # what the previous frame saw (keeps the chain local, so the
-            # loop gap stays unconnected)
-            seen_now = set(tid_np[good].tolist())
-            world2lm = {w: l for w, l in world2lm.items() if w in seen_now}
-        return st, kf_ids, (R_gt, t_gt), world
+        return synthetic.make_drifted_loop_state(
+            CAM, CAPS, K=K, drift=drift, scale_drift=scale_drift)
 
     def test_verify_and_correct(self):
         from dani_slam_tpu.slam import loopclosing as lc
