@@ -146,12 +146,17 @@ def profile_rgbd_stages(sys, imgs, deps, times, n_warmup: int = 3,
             dt = time.perf_counter() - t0
             t_all += dt
             if not warm:
+                first_lba = "LBA" not in seen
                 rec(mt, "LBA", dt)
                 # LBA_Stats analogue: window landmark/observation coverage
-                # per solve (reference logs edges/KFs/MPs per LBA)
-                wl, kl, ob, obk = (int(x) for x in
-                                   mapping.lba_window_stats(st, k))
-                lba_stats.append((dt * 1e3, wl, kl, ob, obk))
+                # per solve (reference logs edges/KFs/MPs per LBA). The
+                # first sample is the compile, not device time — discard it
+                # here too (round-3 review: the shipped CSV's 10 s first
+                # row made the <10 ms audit fail on its face).
+                if not first_lba:
+                    wl, kl, ob, obk = (int(x) for x in
+                                       mapping.lba_window_stats(st, k))
+                    lba_stats.append((dt * 1e3, wl, kl, ob, obk))
             t0 = time.perf_counter()
             _sync(mapping.cull_bad_landmarks(st, st.next_kf_counter))
             dt = time.perf_counter() - t0

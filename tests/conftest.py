@@ -38,11 +38,20 @@ def pytest_configure(config):
 
 @pytest.fixture(scope="module", autouse=True)
 def _bounded_compile_cache():
-    """XLA:CPU segfaults (jax compiler backend_compile_and_load) on LARGE
-    compiles deep into the suite — observed twice at different sites
-    (sharded-training step, FullInertialBA) always after 60+ test files'
-    executables accumulated. Dropping compiled-program caches per module
-    keeps each module's compile workload bounded; the recompiles cost a few
-    extra minutes over the whole suite."""
+    """Bound the live-executable count: every compiled XLA:CPU executable
+    holds ~3 anonymous mmap regions for its LLVM-JIT code/data sections,
+    and a process may hold at most vm.max_map_count (65530) regions. Deep
+    into the suite (60+ files x 8 virtual devices) the accumulated live
+    executables exhaust the map table and the NEXT compile dies inside
+    backend_compile_and_load ("LLVM ERROR: Unable to allocate section
+    memory!" from contiguous_section_memory_manager.cc — SIGABRT, or
+    SIGSEGV depending on the failing allocation site). Root-caused and
+    reproduced deterministically in tools/xla_cpu_mapcount_repro.py
+    (--crash fills the map table and triggers the fatal compile).
+    clear_caches() releases the executables AND their maps (verified
+    there), so dropping caches per module keeps the count bounded; the
+    recompiles cost a few extra minutes over the whole suite.
+    tools/run_full_suite.sh additionally splits the slow tier across
+    processes."""
     jax.clear_caches()
     yield
