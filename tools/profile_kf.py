@@ -116,8 +116,14 @@ def main():
     timeit("create_new_landmarks (desc-NN)",
            mapping.create_new_landmarks, st2, cam, k2)
     timeit("fuse_into_neighbors", mapping.fuse_into_neighbors, st2, cam, k2)
+    timeit("fuse_into_neighbors (two-hop x4)", mapping.fuse_into_neighbors,
+           st2, cam, k2, n_neighbors2=4)
     timeit("local_bundle_adjustment", mapping.local_bundle_adjustment,
            st2, cam, k2)
+    timeit("local_bundle_adjustment (iters=3)",
+           mapping.local_bundle_adjustment, st2, cam, k2, iters=3)
+    timeit("local_bundle_adjustment (iters=1)",
+           mapping.local_bundle_adjustment, st2, cam, k2, iters=1)
     timeit("cull_bad_landmarks", mapping.cull_bad_landmarks, st2,
            st2.next_kf_counter)
     timeit("cull_redundant_keyframes", mapping.cull_redundant_keyframes,
