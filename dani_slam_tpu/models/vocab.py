@@ -168,27 +168,45 @@ class PlaceDB:
 def detect_candidates(bow_db: jax.Array, kf_mask: jax.Array,
                       query_bow: jax.Array, covis: jax.Array,
                       query_kf: jax.Array, n_best: int = 3,
-                      min_covis_exclude: int = 1):
+                      min_covis_exclude: int = 15):
     """Loop/merge candidate detection (reference:
     KeyFrameDatabase::DetectNBestCandidates KeyFrameDatabase.cc:606):
     score all keyframes, boost by covisibility-group accumulation, exclude
     the query's own covisible neighborhood, return top-n ids + scores.
-    Scoring is tf-idf weighted (DBoW3 TF_IDF default)."""
+    Scoring is tf-idf weighted (DBoW3 TF_IDF default).
+
+    min_covis_exclude mirrors the reference's CONNECTED-keyframe exclusion
+    (KeyFrameDatabase.cc:609-628 skips spConnectedKF): covisibility graph
+    connections require >= 15 common observations (KeyFrame::
+    UpdateConnections th=15, KeyFrame.cc:421), so a handful of shared
+    points — normal between a loop candidate and the query after a full
+    circuit — must NOT disqualify it."""
     idf = idf_weights(bow_db, kf_mask)
     db_w = _tfidf_rows(bow_db, idf)
     q_w = _tfidf_rows(query_bow[None], idf)[0]
-    scores = bow_l1_score(db_w, q_w[None])              # [K]
-    scores = jnp.where(kf_mask, scores, -1.0)
+    # connected keyframes never enter the candidate pool NOR the group
+    # accumulation (the reference marks only non-connected KFs with
+    # mnPlaceRecognitionQuery, and the accumulation loop skips unmarked
+    # neighbors, KeyFrameDatabase.cc:622-633,688-691) — otherwise the
+    # query's own high-scoring neighborhood inflates groups adjacent to it
+    # and trivial near-past candidates outrank true loop closures
+    connected = (covis[query_kf] >= min_covis_exclude)
+    eligible = kf_mask & ~connected & \
+        (jnp.arange(bow_db.shape[0]) != query_kf)
+    # shared-word gate: > 0.8 * maxCommonWords among the eligible pool
+    # (KeyFrameDatabase.cc:642-650)
+    shared = (bow_db > 0).astype(jnp.float32) @ (query_bow > 0).astype(
+        jnp.float32)                                    # [K]
+    shared = jnp.where(eligible, shared, 0.0)
+    gated = eligible & (shared > 0.8 * jnp.max(shared)) & (shared > 0)
+    scores = jnp.where(gated, bow_l1_score(db_w, q_w[None]), 0.0)  # [K]
     # group score: accumulate over covisible sets (matmul with boolean covis)
     K = covis.shape[0]
     # scatter-free diagonal (a [K] scatter serializes on TPU)
     group = jnp.where(jnp.eye(K, dtype=bool), 1.0,
                       (covis > 10).astype(jnp.float32))
-    acc = group @ jnp.where(kf_mask, jnp.maximum(scores, 0.0), 0.0)
-    # exclude the query itself and its covisible neighbors
-    connected = (covis[query_kf] >= min_covis_exclude)
-    excl = connected | (jnp.arange(bow_db.shape[0]) == query_kf)
-    acc = jnp.where(excl | ~kf_mask, -1.0, acc)
+    acc = group @ scores
+    acc = jnp.where(gated, acc, -1.0)
     vals, idx = jax.lax.top_k(acc, n_best)
     return idx.astype(jnp.int32), vals
 
