@@ -196,6 +196,10 @@ def main():
         dt = time.perf_counter() - t0
         fps_runs.append(n_frames / dt)
     fps = float(np.median(fps_runs))
+    # progress line: the headline runs survive even if an optional
+    # sub-benchmark below asserts (stdout JSON still comes last)
+    print(f"headline runs {[round(f, 2) for f in fps_runs]} "
+          f"median {fps:.2f}", file=_sys.stderr, flush=True)
 
     # honesty checks: the timed pass must have done REAL SLAM work and the
     # detector must have seen the moving object inside the timed loop

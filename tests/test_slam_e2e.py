@@ -153,6 +153,40 @@ class TestKeyFrameCulling:
         assert sys.n_keyframes() <= 17, f"{sys.n_keyframes()} KFs kept"
         assert sys.tracker.state == "OK"
 
+    def test_long_revisit_backlog_converges(self):
+        """Sustained revisits: three full orbits over the same world. The
+        2-kills-per-KF culling cap only AMORTIZES removal — this pins down
+        that the backlog converges: the keyframe count must saturate
+        instead of growing linearly with each revisit, and stay well
+        inside the K cap (round-3 review: nothing measured whether the map
+        stays within capacity on long loops; reference: KeyFrameCulling
+        runs every mapping cycle, src/LocalMapping.cc:904)."""
+        world = synthetic.make_world(1600, desc_dim=64, seed=11)
+        n_per_orbit, n_orbits = 60, 3
+        n = n_per_orbit * n_orbits
+        R_gt, t_gt = synthetic.orbit_trajectory(
+            n, radius=10.0, angle_span=n_orbits * 2 * np.pi)
+        sys = System(CAM, Sensor.RGBD, caps=CAPS, n_features=512,
+                     enable_loop_closing=False)
+        sys.tracker.max_frames_between_kf = 3   # sustained KF pressure
+        kf_at_orbit_end = []
+        ok = 0
+        for i in range(n):
+            feat, _ = synthetic.render_frame(
+                world, CAM, R_gt[i], t_gt[i], n_max=512, noise_px=0.3,
+                seed=i, with_depth=True, time=i / 30.0)
+            s, _, _ = sys.track_features(feat)
+            ok += s == "OK"
+            if (i + 1) % n_per_orbit == 0:
+                sys._resolve_kf_pull()
+                kf_at_orbit_end.append(sys.n_keyframes())
+        assert ok >= 0.9 * n, f"only {ok}/{n} frames tracked"
+        # saturation: revisit orbits must not keep growing the map — the
+        # third orbit adds at most a couple of KFs over the second
+        assert kf_at_orbit_end[2] - kf_at_orbit_end[1] <= 3, kf_at_orbit_end
+        # and the total stays well inside the capacity
+        assert kf_at_orbit_end[-1] <= CAPS.K // 2, kf_at_orbit_end
+
 
 class TestLocalizationMode:
     def test_tracks_without_extending_map(self):
