@@ -253,6 +253,15 @@ def main():
                   f"(runs {official['runs']}), {n_kf_o} kf {n_lm_o} lm",
                   file=_sys.stderr)
         else:
+            # LOUD skip (round-4 verdict: a silent skip hid the missing
+            # yolov5s weights for a whole round) — the skip lands in the
+            # recorded JSON, not only on stderr
+            official = {
+                "skipped": True,
+                "reason": "official-scale weights absent "
+                          f"(matcher={'ok' if mo is not None else 'MISSING'},"
+                          f" detector={'ok' if do is not None else 'MISSING'})",
+            }
             print("official-scale weights absent — skipping official pass",
                   file=_sys.stderr)
 

@@ -77,20 +77,21 @@ def optimize_essential_graph(R: jax.Array, t: jax.Array, s: jax.Array,
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(edge_rJ)(i_all, j_all)       # [E,7],[E,7,7]x2
-        w = emask.astype(jnp.float32)
-
-        H = jnp.zeros((K, K, 7, 7))
-        H = H.at[i_all, i_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Ji, Ji))
-        H = H.at[j_all, j_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Jj, Jj))
-        H = H.at[i_all, j_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Ji, Jj))
-        H = H.at[j_all, i_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Jj, Ji))
-        g = jnp.zeros((K, 7))
-        g = g.at[i_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Ji, r))
-        g = g.at[j_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Jj, r))
+        # E is the full KxK meshgrid, so every (i,j) pair appears exactly
+        # once: the Hessian assembly is DENSE — reshape + einsum, never
+        # scatter-add (index .add over 65k duplicate targets serializes on
+        # TPU; it was ~2.1 s of a 2.13 s loop correction at K=256)
+        W = emask.reshape(K, K).astype(jnp.float32)
+        rK = r.reshape(K, K, 7)
+        JiK = Ji.reshape(K, K, 7, 7)
+        JjK = Jj.reshape(K, K, 7, 7)
+        H = jnp.einsum('ij,ijrk,ijrl->ijkl', W, JiK, JjK)   # off-diag (i,j)
+        H = H + H.transpose(1, 0, 3, 2)                     # and (j,i)
+        diag = (jnp.einsum('ij,ijrk,ijrl->ikl', W, JiK, JiK) +
+                jnp.einsum('ij,ijrk,ijrl->jkl', W, JjK, JjK))
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(diag)
+        g = (jnp.einsum('ij,ijrk,ijr->ik', W, JiK, rK) +
+             jnp.einsum('ij,ijrk,ijr->jk', W, JjK, rK))
 
         # gauge: zero rows/cols of fixed or invalid nodes
         freeze = fixed | ~node_mask
@@ -167,19 +168,19 @@ def optimize_essential_graph_4dof(R: jax.Array, t: jax.Array,
             return r, Ji, Jj
 
         r, Ji, Jj = jax.vmap(edge_rJ)(i_all, j_all)
-        w = emask.astype(jnp.float32)
-        H = jnp.zeros((K, K, 4, 4))
-        H = H.at[i_all, i_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Ji, Ji))
-        H = H.at[j_all, j_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Jj, Jj))
-        H = H.at[i_all, j_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Ji, Jj))
-        H = H.at[j_all, i_all].add(w[:, None, None] *
-                                   jnp.einsum('eik,eil->ekl', Jj, Ji))
-        g = jnp.zeros((K, 4))
-        g = g.at[i_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Ji, r))
-        g = g.at[j_all].add(w[:, None] * jnp.einsum('eik,ei->ek', Jj, r))
+        # dense assembly over the full KxK meshgrid — no scatter-adds on
+        # TPU (see optimize_essential_graph)
+        W = emask.reshape(K, K).astype(jnp.float32)
+        rK = r.reshape(K, K, 6)
+        JiK = Ji.reshape(K, K, 6, 4)
+        JjK = Jj.reshape(K, K, 6, 4)
+        H = jnp.einsum('ij,ijrk,ijrl->ijkl', W, JiK, JjK)
+        H = H + H.transpose(1, 0, 3, 2)
+        diag = (jnp.einsum('ij,ijrk,ijrl->ikl', W, JiK, JiK) +
+                jnp.einsum('ij,ijrk,ijrl->jkl', W, JjK, JjK))
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(diag)
+        g = (jnp.einsum('ij,ijrk,ijr->ik', W, JiK, rK) +
+             jnp.einsum('ij,ijrk,ijr->jk', W, JjK, rK))
 
         freeze = fixed | ~node_mask
         keep = (~freeze).astype(jnp.float32)

@@ -218,10 +218,15 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
                         n_neighbors2: int = 0):
     """Both fuse directions of the reference's SearchInNeighbors
     (src/LocalMapping.cc:716-900): project kf_new's landmarks into neighbor
-    KFs AND the neighbors' landmarks back into kf_new; bind to unassociated
-    keypoints that match (duplicate merging is handled implicitly: if the
-    target keypoint already observes another landmark we leave it — full
-    replace logic comes with loop closing).
+    KFs AND the neighbors' landmarks back into kf_new. Forward matches
+    carry the reference's full Fuse semantics (LGmatcher::Fuse,
+    src/LGmatcher.cpp:1096-1288): an unassociated target keypoint gains an
+    observation; a target keypoint already bound to a DIFFERENT landmark
+    triggers MapPoint::Replace — the better-observed landmark absorbs the
+    other (observations redirected, counters combined). Without the
+    replace arm, revisit-created duplicates keep observation counts split
+    across copies forever and keyframe redundancy never crosses the cull
+    bar (round-4 red test: sustained-revisit KF backlog).
 
     n_neighbors2 > 0 extends the target set with up to n_neighbors2 best
     covisible KFs of EACH one-hop neighbor (the reference's
@@ -260,19 +265,50 @@ def fuse_into_neighbors(st: mstate.MapState, cam, kf_new: jax.Array,
     lm_desc = st.lm_desc[lm_ids]
     base_mask = has_lm & st.lm_mask[lm_ids]
 
-    # forward: batched projection + window match over all neighbors
+    # forward: batched projection + window match over all neighbors —
+    # against ALL valid keypoints (bound targets feed the replace arm)
     def one(kc, ok_i):
         xy, vis, _, _ = matching.project_landmarks(
             st.kf_R[kc], st.kf_t[kc], cam, lm_pos, base_mask & ok_i)
-        unb = (st.obs_lm[kc] < 0) & st.kf_kp_mask[kc]
-        m = matching.fuse_candidates(xy, vis, lm_desc, st.kf_kp[kc], unb,
-                                     st.kf_desc[kc], radius=radius)
-        return m.idx, m.ok
+        m = matching.fuse_candidates(xy, vis, lm_desc, st.kf_kp[kc],
+                                     st.kf_kp_mask[kc], st.kf_desc[kc],
+                                     radius=radius)
+        tgt = st.obs_lm[kc][m.idx]          # landmark at the matched kp
+        return m.idx, m.ok, tgt
 
-    idxs, oks = jax.vmap(one)(neigh, pair_ok)
+    idxs, oks, tgts = jax.vmap(one)(neigh, pair_ok)
+    tgt_free = tgts < 0
+    tgt_live = (tgts >= 0) & jnp.take(st.lm_mask, jnp.maximum(tgts, 0))
     # all nn neighbor rows in ONE fused update (multi-binder semantics:
     # the same landmark may fuse into several neighbors)
-    st = mstate.add_observations_multi(st, neigh, idxs, lm_ids, oks)
+    st = mstate.add_observations_multi(st, neigh, idxs, lm_ids,
+                                       oks & tgt_free)
+    # replace arm: target keypoint bound to a different landmark — keep the
+    # better-observed of the pair, absorb the other (MapPoint::Replace)
+    nn_f = neigh.shape[0]
+    src_f = jnp.broadcast_to(lm_ids, (nn_f, lm_ids.shape[0])).reshape(-1)
+    tgt_f = jnp.maximum(tgts, 0).reshape(-1)
+    pair_valid = (oks & tgt_live & (tgts != src_f.reshape(tgts.shape))
+                  ).reshape(-1)
+    n_src = jnp.take(st.lm_n_obs, src_f)
+    n_tgt = jnp.take(st.lm_n_obs, tgt_f)
+    keep_f = jnp.where(n_src >= n_tgt, src_f, tgt_f)
+    kill_f = jnp.where(n_src >= n_tgt, tgt_f, src_f)
+    L = st.caps.L
+    # each kill id at most once (replace_landmarks contract): stable
+    # first-occurrence dedupe on the kill id
+    keys = jnp.where(pair_valid, kill_f, L)
+    order = jnp.argsort(keys, stable=True)
+    ks = keys[order]
+    first = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    pair_valid &= first[jnp.argsort(order)]
+    # no kill-keep chains in one pass: drop pairs whose keep id is itself
+    # being absorbed (its observations would redirect to a dead slot); the
+    # next fuse pass catches the transitive merge
+    killed_mask = sless.id_mask(jnp.where(pair_valid, kill_f, L - 1),
+                                pair_valid, L)
+    pair_valid &= ~jnp.take(killed_mask, keep_f)
+    st = mstate.replace_landmarks(st, kill_f, keep_f, pair_valid)
 
     # reverse: the targets' landmarks projected into kf_new — binds the
     # new keyframe's still-unbound keypoints to EXISTING map points before
@@ -388,22 +424,29 @@ def local_bundle_adjustment(st: mstate.MapState, cam, center_kf: jax.Array,
     all_real = jnp.concatenate([opt_real, fix_real])
     P = P_opt + P_fix
     # Gauge: out-of-window observers are fixed anchors (reference fixes
-    # observer KFs + the map-origin KF, src/Optimizer.cc:1220-1260). The
-    # OLDEST keyframe in the window is always fixed too — keyframe slots are
-    # allocated in creation order, so the smallest occupied slot index is the
-    # oldest; anchoring it prevents tracking drift in the newest KF from
-    # dragging the established map (fresh-map regime has no out-of-window
-    # observers at all).
+    # observer KFs + the map-origin KF, src/Optimizer.cc:1220-1260).
+    # Keyframe slots are allocated in creation order, so the smallest
+    # occupied slot index over the whole map is the origin; when it falls
+    # inside the optimized window it is pinned like the reference pins
+    # mnId==0. When NO real external anchors exist (fresh-map regime: every
+    # KF is in the window) the oldest window slot is pinned instead so the
+    # solve remains gauged. Pinning the oldest window slot unconditionally
+    # is wrong: with real anchors present it can pin the very pose the solve
+    # must correct (round-4 red test: center was the smallest window slot).
     oldest_pos = jnp.argmin(jnp.where(opt_real, opt_idx, st.caps.K + 1))
+    origin_kf = jnp.argmax(st.kf_mask)  # smallest occupied slot (creation 0)
+    origin_in_win = opt_real & (opt_idx == origin_kf)
+    no_anchor = jnp.sum(fix_real.astype(jnp.int32)) == 0
     pose_fixed = jnp.concatenate([jnp.zeros(P_opt, bool),
                                   jnp.ones(P_fix, bool)])
-    pose_fixed = pose_fixed.at[oldest_pos].set(True)
+    pose_fixed = pose_fixed | jnp.pad(origin_in_win, (0, P_fix))
+    pose_fixed = pose_fixed.at[oldest_pos].set(
+        pose_fixed[oldest_pos] | no_anchor)
     # Monocular scale gauge: ONE fixed pose pins 6 DoF but NOT scale — with
     # no out-of-window observers (early map: every KF is in the window) the
     # whole window can shrink/grow freely and the map scale random-walks per
     # BA. Anchor the second-oldest window KF too when there are no real
     # external anchors; the fixed BASELINE between two poses pins scale.
-    no_anchor = jnp.sum(fix_real.astype(jnp.int32)) == 0
     second_key = jnp.where(opt_real, opt_idx, st.caps.K + 1).at[
         oldest_pos].set(st.caps.K + 1)
     second_pos = jnp.argmin(second_key)

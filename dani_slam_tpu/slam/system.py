@@ -98,7 +98,13 @@ class System:
                                 Sensor.IMU_RGBD)
         self.cull_redundancy = 0.5 if (imu_sensor and mode != "mono") else 0.9
         self.cull_inertial = imu_sensor
-        self.cull_max_kills = 2
+        # 4 kills per aux pass (aux_every=2 -> 2 kills per inserted KF):
+        # culling capacity must EXCEED the insertion rate or a revisit
+        # backlog never drains (round-4 red test: sustained orbits grew the
+        # map linearly at max_kills=2 — exactly 1 kill per inserted KF, zero
+        # headroom; the reference erases every redundant KF per pass,
+        # src/LocalMapping.cc:904)
+        self.cull_max_kills = 4
         self.close_depth = close_depth
         # covisible-of-covisible fuse targets (reference SearchInNeighbors
         # second-hop extension, src/LocalMapping.cc:735-748): up to this

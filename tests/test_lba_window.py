@@ -95,6 +95,33 @@ class TestLbaWindowOverflow:
         err_after = np.linalg.norm(np.asarray(st2.kf_t[center]) - t_true)
         assert err_after < 0.5 * err_before, (err_before, err_after)
 
+    def test_window_recovers_non_center_pose_error(self):
+        """Round-4 verdict: the gauge rule (pin origin / oldest-only-when-
+        unanchored) must not shield ANY optimized window member. Perturb a
+        covisible window KF that is NOT the center and NOT the oldest window
+        slot; LBA must still halve the error."""
+        sys = build_big_map()
+        st = sys.tracker.st
+        center = int(sys.tracker.ref_kf)
+        P_opt = 4
+        (opt_idx, opt_real, *_rest) = mapping._lba_window_select(
+            st, jnp.asarray(center), P_opt, 64)
+        opt_np = np.asarray(opt_idx)[np.asarray(opt_real)]
+        oldest = int(opt_np.min())
+        victims = [k for k in opt_np if k != center and k != oldest]
+        assert victims, "window has no non-center, non-oldest member"
+        victim = int(victims[0])
+        t_true = np.asarray(st.kf_t[victim])
+        t_bad = t_true + np.asarray([-0.025, 0.03, -0.015])
+        st_bad = dataclasses.replace(
+            st, kf_t=st.kf_t.at[victim].set(jnp.asarray(t_bad)))
+        st2 = mapping.local_bundle_adjustment(
+            st_bad, CAM, jnp.asarray(center), P_opt=P_opt, P_fix=4,
+            L_loc=64, iters=6)
+        err_before = np.linalg.norm(t_bad - t_true)
+        err_after = np.linalg.norm(np.asarray(st2.kf_t[victim]) - t_true)
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
 
 class TestWindowCoverageMeasured:
     def test_overflow_is_quantified_and_bounded(self):

@@ -152,3 +152,85 @@ class TestPnP:
         assert bool(res.ok)
         np.testing.assert_allclose(np.asarray(res.t), np.asarray(t_t),
                                    atol=2e-2)
+
+
+class TestDetectionGatesProductionCaps:
+    """Round-4 verdict: the loop-detection gate semantics (fixed in
+    a612c3c after n_loops=0 surfaced ON-DEVICE only) get unit coverage at
+    production capacities so regressions fail in the fast tier, not the
+    bench. Reference: KeyFrameDatabase::DetectNBestCandidates
+    src/KeyFrameDatabase.cc:606-700; connection threshold
+    KeyFrame::UpdateConnections th=15, src/KeyFrame.cc:421."""
+
+    def test_weakly_overlapping_candidate_not_excluded(self):
+        """The a612c3c defect: after a full circuit the TRUE loop candidate
+        shares a handful of observations with the query (covis > 0 but
+        below the 15-obs connection threshold). Excluding ALL covis>0
+        keyframes silently drops it; only CONNECTED (>=15) keyframes are
+        excluded (the reference excludes spConnectedKeyFrames only)."""
+        K, V = 256, 512
+        q = jnp.zeros((V,)).at[:16].set(1 / 16)
+        bow = jnp.zeros((K, V)).at[40].set(q)
+        # true candidate at slot 40 shares 10 common observations with the
+        # query at slot 200 — weakly overlapping, NOT connected
+        covis = jnp.zeros((K, K), jnp.int32)
+        covis = covis.at[200, 40].set(10).at[40, 200].set(10)
+        # the query's real neighborhood IS connected (and identical bow)
+        covis = covis.at[200, 199].set(120).at[199, 200].set(120)
+        bow = bow.at[199].set(q)
+        kf_mask = jnp.zeros(K, bool).at[:210].set(True)
+        idx, vals = vocab.detect_candidates(bow, kf_mask, q, covis,
+                                            jnp.asarray(200), n_best=3)
+        kept = set(np.asarray(idx)[np.asarray(vals) > 0].tolist())
+        assert 40 in kept, (idx, vals)
+        assert 199 not in kept, "connected neighbor leaked into candidates"
+
+    def test_shared_word_gate_cuts_low_overlap(self):
+        """> 0.8*maxCommonWords shared-word gate
+        (KeyFrameDatabase.cc:642-650): a keyframe sharing far fewer words
+        than the best is cut even if its tf-idf score on those few words
+        would be large."""
+        K, V = 256, 512
+        # query uses words 0..19 uniformly
+        q = jnp.zeros((V,)).at[:20].set(1 / 20)
+        bow = jnp.zeros((K, V))
+        # candidate A: shares all 20 words
+        bow = bow.at[10, :20].set(1 / 20)
+        # candidate B: shares only 10 (< 0.8*20 = 16) but matches the query
+        # distribution perfectly on them (high L1 overlap on the shared set)
+        bow = bow.at[20, :10].set(1 / 10)
+        covis = jnp.zeros((K, K), jnp.int32)
+        kf_mask = jnp.zeros(K, bool).at[:30].set(True)
+        idx, vals = vocab.detect_candidates(bow, kf_mask, q, covis,
+                                            jnp.asarray(25), n_best=3)
+        kept = set(np.asarray(idx)[np.asarray(vals) > 0].tolist())
+        assert 10 in kept
+        assert 20 not in kept, "low-shared-word candidate passed the gate"
+
+    def test_drifted_loop_detects_at_production_caps(self):
+        """End-to-end detection semantics on the bench's drifted-loop map
+        at PRODUCTION slot caps (K=256): the final keyframe of the orbit
+        must rank a loop-gap partner (one of the first keyframes) as its
+        top candidate — the exact configuration whose silent n_loops=0
+        regression round 4 only caught on-device."""
+        from dani_slam_tpu.core import state as mstate
+        from dani_slam_tpu.utils.synthetic import make_drifted_loop_state
+
+        caps = mstate.MapCaps()          # K=256 production slot caps
+        st, kf_ids, _, _ = make_drifted_loop_state(CAM, caps, K=16)
+        cb = vocab.random_codebook(jax.random.PRNGKey(0), 512, caps.D)
+        desc = st.kf_desc.reshape(-1, caps.D)
+        dmask = (st.kf_kp_mask & st.kf_mask[:, None]).reshape(-1)
+        cb = vocab.train_codebook(desc, dmask, cb)
+        bow = vocab.rebuild_bow_rows(st.kf_desc, st.kf_kp_mask, st.kf_mask,
+                                     cb)
+        kf_q = kf_ids[-1]
+        idx, vals = vocab.detect_candidates(
+            bow, st.kf_mask, bow[kf_q], st.covis, jnp.asarray(kf_q),
+            n_best=3)
+        kept = [int(i) for i, v in zip(np.asarray(idx), np.asarray(vals))
+                if v > 0]
+        assert kept, "no candidates at production caps"
+        # the loop partner: an early-orbit keyframe, NOT the query's
+        # immediate covisible past
+        assert kept[0] in kf_ids[:4], (kept, kf_ids)
