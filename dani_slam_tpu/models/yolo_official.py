@@ -314,10 +314,12 @@ def load_official_detector():
     params.pop("__meta__", None)
     model = YoloV5Net(num_classes=nc, depth_multiple=0.33,
                       width_multiple=0.50)
-    # synthetic scenes label movable=class0 / static=class1; score_th as
-    # calibrated for the synthetic-trained compact detector (yolo.py)
+    # synthetic scenes label movable=class0 / static=class1; score_th
+    # calibrated for THESE weights on held-out scenes (threshold sweep at
+    # 1200 steps: P 0.70/R 0.92 at 0.6 — the compact net's 0.75 passes
+    # nothing, its score distribution does not transfer to the yolov5s head)
     return Detector(params=params, model=model, input_hw=(ih, iw),
-                    dynamic_class_ids=(0,), score_th=0.75)
+                    dynamic_class_ids=(0,), score_th=0.6)
 
 
 # ---------------------------------------------------------------------------

@@ -36,17 +36,29 @@ MAX_GT = 6
 # ---------------------------------------------------------------------------
 
 def _blobs(rng, img, x1, y1, x2, y2, n, amp_lo=0.35, amp_hi=0.7):
-    """Sprinkle corner blobs into img[y1:y2, x1:x2] (all channels)."""
+    """Sprinkle corner blobs into img[y1:y2, x1:x2] (all channels).
+
+    Each blob is confined to |du|<5, |dv|<5 around its center, so only an
+    ~11x11 window is touched — computed on that window slice (identical
+    values + rng call order to the full-image formulation, ~100x faster
+    host rasterization at 384x512)."""
     h, w = img.shape[:2]
-    yy, xx = np.mgrid[0:h, 0:w]
     for _ in range(n):
         cx = rng.uniform(x1 + 3, max(x2 - 3, x1 + 4))
         cy = rng.uniform(y1 + 3, max(y2 - 3, y1 + 4))
+        amp = rng.uniform(amp_lo, amp_hi)
+        ix1 = max(int(np.floor(cx - 5)), 0)
+        ix2 = min(int(np.ceil(cx + 5)) + 1, w)
+        iy1 = max(int(np.floor(cy - 5)), 0)
+        iy2 = min(int(np.ceil(cy + 5)) + 1, h)
+        if ix2 <= ix1 or iy2 <= iy1:
+            continue
+        yy, xx = np.mgrid[iy1:iy2, ix1:ix2]
         du, dv = xx - cx, yy - cy
         m = (np.abs(du) < 5) & (np.abs(dv) < 5)
-        g = rng.uniform(amp_lo, amp_hi) * np.exp(
-            -(du ** 2 + dv ** 2) / (2 * 1.5 ** 2))
-        img[m] = np.maximum(img[m], (0.2 + g[m])[:, None])
+        g = amp * np.exp(-(du ** 2 + dv ** 2) / (2 * 1.5 ** 2))
+        sub = img[iy1:iy2, ix1:ix2]
+        sub[m] = np.maximum(sub[m], (0.2 + g[m])[:, None])
     return img
 
 
