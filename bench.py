@@ -25,38 +25,6 @@ import json
 import time
 
 
-def _stamp_object(img, depth, cam_f, uv, z, wh_m, offsets, amps):
-    """Stamp the warm textured movable object (the shipped detector's
-    training appearance, models/yolo_train.py) onto an RGB frame."""
-    import numpy as np
-    H, W = img.shape[:2]
-    bw = wh_m[0] * cam_f / z
-    bh = wh_m[1] * cam_f / z
-    x1, y1 = uv[0] - bw / 2, uv[1] - bh / 2
-    x2, y2 = uv[0] + bw / 2, uv[1] + bh / 2
-    xi1, yi1 = max(int(x1), 0), max(int(y1), 0)
-    xi2, yi2 = min(int(x2), W), min(int(y2), H)
-    if xi2 - xi1 < 8 or yi2 - yi1 < 8:
-        return img, depth
-    tint = np.asarray([1.0, 0.55, 0.45]) * 0.55 * 255
-    img[yi1:yi2, xi1:xi2] = tint
-    # coherent blob texture that moves WITH the object — the case that
-    # poisons unmasked tracking (keypoints land on it and out-vote statics
-    # locally); the detector must suppress it inside the timed loop
-    yy, xx = np.mgrid[0:H, 0:W]
-    sx = bw / 100.0
-    for (ox, oy), a in zip(offsets, amps):
-        u, v = uv[0] + ox * sx, uv[1] + oy * sx
-        if not (3 < u < W - 4 and 3 < v < H - 4):
-            continue
-        du, dv = xx - u, yy - v
-        m = (np.abs(du) < 5) & (np.abs(dv) < 5)
-        g = a * np.exp(-(du ** 2 + dv ** 2) / (2 * 1.5 ** 2))
-        img[m] = np.maximum(img[m], (40 + g[m])[:, None] * np.ones((1, 3)))
-    depth[yi1:yi2, xi1:xi2] = z * 5000.0
-    return img, depth
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -67,7 +35,7 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from dani_slam_tpu.core import cameras, lie
+    from dani_slam_tpu.core import cameras
     from dani_slam_tpu.core import state as mstate
     from dani_slam_tpu.models import superpoint as sp_mod
     from dani_slam_tpu.models import yolo as yolo_mod
@@ -85,63 +53,19 @@ def main():
     assert det is not None, "shipped detector weights missing"
 
     # --- render the dataset (host, once) and pre-stage it in HBM ---------
-    # points sampled inside the camera frustum along the sweep, at depths
-    # within the uint16 range of depth_factor=5000 (13.1 m) — beyond-range
-    # depth encodes as INVALID, so camera-centered sampling keeps the RGB-D
-    # landmark pipeline fully loaded every frame
-    rng = np.random.RandomState(0)
-    # angle span ~0.35 rad over 2 s: the TUM walking sequences' gentle
+    # frustum-sampled textured points + the moving warm board at ~4 m (the
+    # fr3_walking "person" analogue) — shared builder so the A/B tools run
+    # the same scene family (utils/synthetic.make_rgbd_image_sequence).
+    # Angle span ~0.35 rad over 2 s: the TUM walking sequences' gentle
     # handheld motion (the north-star workload is dynamic-content load at
     # frame rate, not an extreme view-turnover stress test)
     R_gt, t_gt = synthetic.orbit_trajectory(n_frames, radius=10.0,
                                             angle_span=0.35)
-    # ~1500 parents spread over the swept volume on a jittered grid (>=14
-    # px apart at mid-depth): the detection budget (1024) then returns a
-    # STABLE keypoint set frame to frame — with clustered points the top-K
-    # selection churns and map coverage saturates low
-    pts_list = []
-    per_batch = 160
-    for j in list(range(0, n_frames, 6)) + [n_frames - 1]:
-        gx, gy = np.meshgrid(np.linspace(40, 600, 16),
-                             np.linspace(40, 440, 10))
-        u = (gx + rng.uniform(-12, 12, gx.shape)).ravel()[:per_batch]
-        v = (gy + rng.uniform(-12, 12, gy.shape)).ravel()[:per_batch]
-        z = rng.uniform(4.0, 11.0, per_batch)
-        rays = np.stack([(u - 320.0) / 500.0, (v - 240.0) / 500.0,
-                         np.ones(per_batch)], 1)
-        pc = (rays * z[:, None]).astype(np.float32)
-        Rj, tj = np.asarray(R_gt[j]), np.asarray(t_gt[j])
-        pts_list.append((Rj.T @ (pc - tj).T).T.astype(np.float32))
-    pts = np.concatenate(pts_list, 0)
-    bright = rng.uniform(150, 230, len(pts)).astype(np.float32)
-    # the movable object: a ~1.6x1.2 m warm textured board at ~4 m crossing
-    # the view laterally (the fr3_walking "person" analogue); blob texture
-    # gives the detector AND SuperPoint something to latch onto
-    obj_off = [(rng.uniform(-48, 48), rng.uniform(-33, 33))
-               for _ in range(40)]
-    obj_amp = [rng.uniform(150, 215) for _ in range(40)]
-    C0 = -np.asarray(R_gt[0]).T @ np.asarray(t_gt[0])
-    fwd0 = np.asarray(R_gt[0]).T @ np.asarray([0.0, 0.0, 1.0])
-    side0 = np.asarray(R_gt[0]).T @ np.asarray([1.0, 0.0, 0.0])
-    imgs, deps = [], []
-    for i in range(n_frames):
-        gray, de = synthetic.render_image_depth(pts, bright, cam, R_gt[i],
-                                                t_gt[i], seed=i)
-        img = np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
-        de = de.astype(np.float32)
-        obj_w = C0 + fwd0 * 4.0 + side0 * (-1.8 + 0.07 * i)
-        pc = np.asarray(lie.se3_apply(R_gt[i], t_gt[i],
-                                      jnp.asarray(obj_w[None],
-                                                  jnp.float32)))
-        if pc[0, 2] > 0.5:
-            uv = np.asarray(cameras.project(cam, jnp.asarray(pc)))[0]
-            img, de = _stamp_object(img, de, 500.0, uv, pc[0, 2],
-                                    (1.6, 1.2), obj_off, obj_amp)
-        imgs.append(jax.device_put(jnp.asarray(
-            np.clip(img, 0, 255).astype(np.uint8))))
-        deps.append(jax.device_put(jnp.asarray(de.astype(np.uint16))))
-    times = [jax.device_put(jnp.asarray(i / 30.0, jnp.float32))
-             for i in range(n_frames)]
+    imgs_np, deps_np, times_np = synthetic.make_rgbd_image_sequence(
+        cam, R_gt, t_gt, seed=0)
+    imgs = [jax.device_put(jnp.asarray(x)) for x in imgs_np]
+    deps = [jax.device_put(jnp.asarray(x)) for x in deps_np]
+    times = [jax.device_put(jnp.asarray(t, jnp.float32)) for t in times_np]
 
     import os
     import sys as _sys

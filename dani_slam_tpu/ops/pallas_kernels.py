@@ -51,6 +51,20 @@ def _match_kernel(qdesc_ref, qxy_ref, qvalid_ref, tdesc_ref, txy_ref,
     qv = qvalid_ref[:]                                 # [TM,1] float (1/0)
     r2 = r2_ref[:]                                     # [TM,1] per-query r^2
 
+    # Dead-tile skip: track-local-map queries are the FULL landmark table
+    # (M = L = 32768 slots) of which only the live prefix is valid — slots
+    # are first-free allocated, so ~90% of query tiles carry zero valid
+    # rows. A dead tile cannot win any column, and its row outputs are all
+    # BIG/0; skip the whole target sweep for it (measured: the bulk of the
+    # per-frame local-map search time at production caps).
+    any_q = jnp.sum(qv) > 0.0
+
+    @pl.when(jnp.logical_not(any_q))
+    def _dead_tile():
+        best_ref[:] = jnp.full_like(best_ref, BIG)
+        second_ref[:] = jnp.full_like(second_ref, BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
     def tile(i, carry):
         best, second, idx = carry
         t = tdesc_ref[pl.ds(i * TN, TN), :].astype(jnp.bfloat16)  # [TN,D]
@@ -98,12 +112,14 @@ def _match_kernel(qdesc_ref, qxy_ref, qvalid_ref, tdesc_ref, txy_ref,
                                  jnp.minimum(second, tb2))
         return new_best, new_second, new_idx
 
-    init = (jnp.full((TM, 1), BIG), jnp.full((TM, 1), BIG),
-            jnp.zeros((TM, 1), jnp.int32))
-    best, second, idx = jax.lax.fori_loop(0, n_tiles, tile, init)
-    best_ref[:] = best
-    second_ref[:] = second
-    idx_ref[:] = idx
+    @pl.when(any_q)
+    def _live_tile():
+        init = (jnp.full((TM, 1), BIG), jnp.full((TM, 1), BIG),
+                jnp.zeros((TM, 1), jnp.int32))
+        best, second, idx = jax.lax.fori_loop(0, n_tiles, tile, init)
+        best_ref[:] = best
+        second_ref[:] = second
+        idx_ref[:] = idx
 
 
 def _pad_rows(a, m, fill=0.0):

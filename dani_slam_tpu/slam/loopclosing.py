@@ -204,37 +204,28 @@ def verify_loop_candidate(st: mstate.MapState, cam, kf_cur: jax.Array,
 # Loop correction
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("pg_iters", "fix_scale", "four_dof"))
-def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
-                 kf_cand: jax.Array, T12, pg_iters: int = 10,
-                 fix_scale: bool = False, four_dof: bool = False):
-    """Apply a verified loop closure (reference: CorrectLoop
-    src/LoopClosing.cc:970-1215).
-
-    Steps, all on device:
-      1. corrected current pose: T_cur' = T12 * T_cand  (sim3)
-      2. essential-graph optimization with the loop edge added; relative
-         measurements are the PRE-correction relative poses (odometry), the
-         loop edge carries T12, and the candidate side is the gauge anchor.
-         four_dof selects the yaw+translation graph for gravity-aligned
-         inertial maps (reference: OptimizeEssentialGraph4DoF,
-         src/LoopClosing.cc:1179-1184).
-      3. landmarks re-expressed through their reference keyframe's
-         correction: X' = S_k'^-1 * (T_k X) — the exact per-KF Sim3
-         write-back (src/LoopClosing.cc:1009-1120).
-    """
+@partial(jax.jit, static_argnames=("iters", "fix_scale", "four_dof"))
+def loop_pg_chunk(st: mstate.MapState, kf_cur: jax.Array,
+                  kf_cand: jax.Array, T12, carry, iters: int = 3,
+                  fix_scale: bool = False, four_dof: bool = False):
+    """Run `iters` GN iterations of the loop essential graph over the
+    SNAPSHOT map `st` and return the updated pose iterate carry
+    (R [K,3,3], t [K,3], s [K]). Edges + relative measurements are rebuilt
+    deterministically from the snapshot's PRE-correction poses each call
+    (cheap einsum; carrying them would pin [K,K,3,3] buffers), so chunks
+    compose exactly like one long optimize_essential_graph run. Bounded
+    device time per call — dispatched across subsequent keyframes so a loop
+    correction never stalls the frame loop (reference: all of CorrectLoop
+    runs in the LoopClosing THREAD while Tracking continues at frame rate,
+    src/LoopClosing.cc:970-1207; the time-sliced chunks are the
+    single-device equivalent, like gba_chunk for the GBA)."""
     K = st.caps.K
     R12, t12, s12 = T12
-
-    # current sim3 poses (s=1)
+    R_all, t_all = st.kf_R, st.kf_t
     s_all = jnp.ones((K,))
-    R_all = st.kf_R
-    t_all = st.kf_t
+    R_c, t_c, s_c = carry
 
-    # loop edge bookkeeping
     loop_edges = st.loop_edges.at[kf_cur, kf_cand].set(True)
-
-    # edges + measurements from pre-correction relative poses
     edges = posegraph.build_essential_edges(
         st.covis, st.spanning_parent, loop_edges, st.kf_mask, covis_th=30)
     fixed = jnp.zeros((K,), bool).at[kf_cand].set(True)
@@ -252,8 +243,8 @@ def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
         Rm = Rm.at[kf_cand, kf_cur].set(Ri12)
         Cj_in_i = Cj_in_i.at[kf_cand, kf_cur].set(ti12)
         R_new, t_new = posegraph.optimize_essential_graph_4dof(
-            R_all, t_all, edges, Rm, Cj_in_i, fixed, st.kf_mask,
-            iters=pg_iters)
+            R_c, t_c, edges, Rm, Cj_in_i, fixed, st.kf_mask,
+            iters=iters)
         s_new = jnp.ones((K,))
     else:
         Rm, tm, sm = jax.vmap(lambda Ri, ti, si: jax.vmap(
@@ -270,36 +261,67 @@ def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
         tm = tm.at[kf_cand, kf_cur].set(ti12)
         sm = sm.at[kf_cand, kf_cur].set(si12)
         R_new, t_new, s_new = posegraph.optimize_essential_graph(
-            R_all, t_all, s_all, edges, Rm, tm, sm, fixed, st.kf_mask,
-            iters=pg_iters, fix_scale=fix_scale)
+            R_c, t_c, s_c, edges, Rm, tm, sm, fixed, st.kf_mask,
+            iters=iters, fix_scale=fix_scale)
+    return R_new, t_new, s_new
 
-    # landmark correction via reference keyframe: X' = S_k'^-1 * (T_k X)
+
+@jax.jit
+def loop_correction_apply(st: mstate.MapState, carry):
+    """Turn a finished pose-graph iterate into the corrected SNAPSHOT map
+    arrays: landmark correction via each landmark's reference keyframe
+    (X' = S_k'^-1 * (T_k X), the exact per-KF Sim3 write-back,
+    src/LoopClosing.cc:1009-1120) and the SE3 pose write-back
+    T_k = [R_k, t_k / s_k] (CorrectedSim3 -> SetPose with eigt *= 1/s).
+    Returns (R_out, t_out, lm_pos, dist_min, dist_max)."""
+    K = st.caps.K
+    R_new, t_new, s_new = carry
     ref = jnp.clip(st.lm_ref_kf, 0, K - 1)
-    Rk_old = R_all[ref]
-    tk_old = t_all[ref]
-    Rk_new = R_new[ref]
-    tk_new = t_new[ref]
-    sk_new = s_new[ref]
-    Xc = jnp.einsum('lij,lj->li', Rk_old, st.lm_pos) + tk_old
-    Rki, tki, ski = lie.sim3_inv(Rk_new, tk_new, sk_new)
+    Xc = jnp.einsum('lij,lj->li', st.kf_R[ref], st.lm_pos) + st.kf_t[ref]
+    Rki, tki, ski = lie.sim3_inv(R_new[ref], t_new[ref], s_new[ref])
     X_new = lie.sim3_apply(Rki, tki, ski, Xc)
     lm_pos = jnp.where(st.lm_mask[:, None], X_new, st.lm_pos)
-
-    # SE3 write-back: T_k = [R_k, t_k / s_k] — the reference's exact
-    # conversion (CorrectedSim3 -> SetPose with eigt *= 1/s,
-    # src/LoopClosing.cc:1009-1120). Combined with the landmark correction
-    # above (which consumes the full Sim3), reprojection is preserved
-    # exactly; camera-frame depths rescale by 1/s_k consistently with the
-    # rescaled map.
     R_out = lie.orthonormalize(R_new)
     t_out = t_new / jnp.maximum(s_new[:, None], 1e-9)
     # scale-invariance bands of landmarks follow their reference KF's scale
-    inv_s = 1.0 / jnp.maximum(sk_new, 1e-9)
+    inv_s = 1.0 / jnp.maximum(s_new[ref], 1e-9)
     dist_min = jnp.where(st.lm_mask, st.lm_dist_min * inv_s, st.lm_dist_min)
     dist_max = jnp.where(st.lm_mask, st.lm_dist_max * inv_s, st.lm_dist_max)
-    return dataclasses.replace(st, kf_R=R_out, kf_t=t_out, lm_pos=lm_pos,
-                               lm_dist_min=dist_min, lm_dist_max=dist_max,
-                               loop_edges=loop_edges)
+    return R_out, t_out, lm_pos, dist_min, dist_max
+
+
+@partial(jax.jit, static_argnames=("pg_iters", "fix_scale", "four_dof"))
+def correct_loop(st: mstate.MapState, cam, kf_cur: jax.Array,
+                 kf_cand: jax.Array, T12, pg_iters: int = 10,
+                 fix_scale: bool = False, four_dof: bool = False):
+    """Apply a verified loop closure SYNCHRONOUSLY (reference: CorrectLoop
+    src/LoopClosing.cc:970-1215).
+
+    Steps, all on device:
+      1. corrected current pose: T_cur' = T12 * T_cand  (sim3)
+      2. essential-graph optimization with the loop edge added; relative
+         measurements are the PRE-correction relative poses (odometry), the
+         loop edge carries T12, and the candidate side is the gauge anchor.
+         four_dof selects the yaw+translation graph for gravity-aligned
+         inertial maps (reference: OptimizeEssentialGraph4DoF,
+         src/LoopClosing.cc:1179-1184).
+      3. landmarks re-expressed through their reference keyframe's
+         correction: X' = S_k'^-1 * (T_k X) — the exact per-KF Sim3
+         write-back (src/LoopClosing.cc:1009-1120).
+
+    Composed from loop_pg_chunk + loop_correction_apply, so the time-sliced
+    path (LoopCloser.corr_async) computes bit-identical corrections when no
+    keyframes interleave."""
+    K = st.caps.K
+    carry = (st.kf_R, st.kf_t, jnp.ones((K,)))
+    carry = loop_pg_chunk(st, kf_cur, kf_cand, T12, carry, iters=pg_iters,
+                          fix_scale=fix_scale, four_dof=four_dof)
+    R_out, t_out, lm_pos, dist_min, dist_max = loop_correction_apply(
+        st, carry)
+    return dataclasses.replace(
+        st, kf_R=R_out, kf_t=t_out, lm_pos=lm_pos,
+        lm_dist_min=dist_min, lm_dist_max=dist_max,
+        loop_edges=st.loop_edges.at[kf_cur, kf_cand].set(True))
 
 
 @partial(jax.jit, static_argnames=("n_neighbors",))
@@ -461,6 +483,37 @@ def apply_gba(st: mstate.MapState, snap_kf_mask, snap_kf_fid, snap_lm_mask,
                          R_new[chain_ref], t_new[chain_ref])
     st2 = dataclasses.replace(st, kf_R=R_new, kf_t=t_new, lm_pos=lm_new)
     return st2, cR, ct
+
+
+@jax.jit
+def apply_loop_weld(st: mstate.MapState, snap_kf_mask, snap_kf_fid,
+                    snap_lm_mask, snap_lm_first, R_corr, t_corr, lm_corr,
+                    dmin_corr, dmax_corr, kf_cur, kf_cand, cur_fid,
+                    cand_fid, chain_ref):
+    """Weld a finished TIME-SLICED loop correction into the LIVE map: the
+    same spanning-tree / reference-KF propagation as apply_gba (keyframes
+    and landmarks created during the sliced window follow their corrected
+    parent / reference KF), plus the loop-specific extras — the corrected
+    scale-invariance bands of participant landmarks and the loop edge
+    (slot-reuse guarded by frame ids). Returns (st', corr_R, corr_t).
+
+    Mono caveat: keyframes minted DURING the sliced window compose their
+    relative SE3 onto the rescaled parent without rescaling the relative
+    translation — a second-order error at typical per-window drift that the
+    following sliced GBA absorbs (the reference avoids it by holding the
+    map mutex during CorrectLoop, src/LoopClosing.cc:1000-1007)."""
+    st2, cR, ct = apply_gba(st, snap_kf_mask, snap_kf_fid, snap_lm_mask,
+                            snap_lm_first, R_corr, t_corr, lm_corr,
+                            chain_ref)
+    lm_part = snap_lm_mask & st.lm_mask & (st.lm_first_kf == snap_lm_first)
+    dmin = jnp.where(lm_part, dmin_corr, st.lm_dist_min)
+    dmax = jnp.where(lm_part, dmax_corr, st.lm_dist_max)
+    edge_ok = ((st.kf_frame_id[kf_cur] == cur_fid) &
+               (st.kf_frame_id[kf_cand] == cand_fid))
+    loop_edges = st.loop_edges.at[kf_cur, kf_cand].set(
+        st.loop_edges[kf_cur, kf_cand] | edge_ok)
+    return (dataclasses.replace(st2, lm_dist_min=dmin, lm_dist_max=dmax,
+                                loop_edges=loop_edges), cR, ct)
 
 
 # ---------------------------------------------------------------------------
@@ -698,6 +751,19 @@ class LoopCloser:
         self.gba_iters = 10
         self._gba = None            # (snapshot MapState, carry, iters_done)
         self.chain_corr = None      # set by apply_gba for the System
+        # time-sliced loop CORRECTION (reference: all of CorrectLoop runs in
+        # the LoopClosing thread while Tracking continues,
+        # src/LoopClosing.cc:970-1207): the essential-graph solve runs in
+        # pg_chunk_iters-iteration chunks over a snapshot at subsequent
+        # keyframes; apply_loop_weld folds the result into the live map
+        # (same spanning-tree propagation as the GBA weld), then
+        # SearchAndFuse + the sliced GBA follow. corr_async=False restores
+        # the inline single-program correction.
+        self.corr_async = True
+        self.pg_chunk_iters = 3
+        self.pg_iters = 10
+        self._pgc = None            # dict: snapshot, kf/cand slots+fids,
+        #                             T12, four_dof, carry, iters done
 
     def _gba_step(self, st: mstate.MapState, chain_ref):
         """Advance the time-sliced GBA by one chunk; weld back when done.
@@ -718,16 +784,58 @@ class LoopCloser:
         self._gba = None
         return st
 
+    def _pgc_step(self, st: mstate.MapState, chain_ref):
+        """Advance the time-sliced loop correction by one chunk; weld back
+        + SearchAndFuse + start the sliced GBA when the pose graph is done."""
+        c = self._pgc
+        kf_d = jnp.asarray(c["kf"])
+        cand_d = jnp.asarray(c["cand"])
+        if c["done"] < self.pg_iters:
+            c["carry"] = loop_pg_chunk(
+                c["snap"], kf_d, cand_d, c["T12"], c["carry"],
+                iters=self.pg_chunk_iters, fix_scale=self.fix_scale,
+                four_dof=c["four_dof"])
+            c["done"] += self.pg_chunk_iters
+            return st
+        snap = c["snap"]
+        R_out, t_out, lm_pos, dmin, dmax = loop_correction_apply(
+            snap, c["carry"])
+        verbose.print_mess("LoopClosing: sliced correction finished, "
+                           "welding back", verbose.VERBOSE)
+        st, cR, ct = apply_loop_weld(
+            st, snap.kf_mask, snap.kf_frame_id, snap.lm_mask,
+            snap.lm_first_kf, R_out, t_out, lm_pos, dmin, dmax,
+            kf_d, cand_d, jnp.asarray(c["cur_fid"]),
+            jnp.asarray(c["cand_fid"]), chain_ref)
+        self.chain_corr = (cR, ct)
+        self._pgc = None
+        # SearchAndFuse on the welded map — only if both loop ends still
+        # hold the same keyframes (slots are reused after culling)
+        live_kf, live_cf = jax.device_get((st.kf_frame_id[c["kf"]],
+                                           st.kf_frame_id[c["cand"]]))
+        if int(live_kf) == c["cur_fid"] and int(live_cf) == c["cand_fid"]:
+            st = search_and_fuse(st, self.cam, kf_d, cand_d)
+        if self.run_gba:
+            if self.gba_async:
+                carry = (st.kf_R, st.kf_t, st.lm_pos, jnp.asarray(1e-4))
+                self._gba = (st, carry, 0)
+            else:
+                st = global_bundle_adjustment(st, self.cam)
+        return st
+
     def finish_gba(self, st: mstate.MapState, chain_ref):
-        """Drain a pending time-sliced GBA (shutdown/merge paths)."""
+        """Drain a pending time-sliced correction + GBA (shutdown/merge)."""
+        while self._pgc is not None:
+            st = self._pgc_step(st, chain_ref)
         while self._gba is not None:
             st = self._gba_step(st, chain_ref)
         return st
 
     def abort_gba(self):
-        """Drop a pending GBA (map reset/merge/new loop — the reference's
-        mbStopGBA / mnFullBAIdx invalidation)."""
+        """Drop a pending GBA and sliced correction (map reset/merge/new
+        loop — the reference's mbStopGBA / mnFullBAIdx invalidation)."""
         self._gba = None
+        self._pgc = None
 
     def on_keyframe(self, st: mstate.MapState, kf: int,
                     kf_count: int | None = None, kf_dev=None,
@@ -741,7 +849,11 @@ class LoopCloser:
         if kf_dev is None:
             kf_dev = jnp.asarray(kf, jnp.int32)
         self.chain_corr = None
-        if self._gba is not None:
+        if self._pgc is not None:
+            st = self._pgc_step(st,
+                                chain_ref if chain_ref is not None
+                                else kf_dev)
+        elif self._gba is not None:
             st = self._gba_step(st,
                                 chain_ref if chain_ref is not None
                                 else kf_dev)
@@ -778,7 +890,11 @@ class LoopCloser:
         if corrected:
             return st
 
-        if kf_count < 12 or kf_count - self.last_loop_kf < self.min_kf_gap:
+        if (self._pgc is not None or kf_count < 12 or
+                kf_count - self.last_loop_kf < self.min_kf_gap):
+            # no fresh detection while a sliced correction is in flight
+            # (the reference's LoopClosing thread is likewise busy inside
+            # CorrectLoop) or during the post-loop cooldown
             self._pending_cand = None
             return st
 
@@ -861,8 +977,9 @@ class LoopCloser:
         # resolution-time slot-reuse guard: cand/kf_v were validated when
         # the refine was dispatched, one keyframe ago — culling since then
         # would make the propagation read a reused slot's pose
-        cf, pf = jax.device_get((st.kf_frame_id[cand],
-                                 st.kf_frame_id[kf_v]))
+        cf, pf, kf_fid = jax.device_get((st.kf_frame_id[cand],
+                                         st.kf_frame_id[kf_v],
+                                         st.kf_frame_id[kf]))
         if int(cf) != cand_fid or int(pf) != vkf_fid:
             return st, False
         best_d, kf_d = jnp.asarray(cand), jnp.asarray(kf)
@@ -878,18 +995,27 @@ class LoopCloser:
         verbose.print_mess(
             f"LoopClosing: loop detected KF slot {kf} <-> {cand} "
             f"({n} inliers), correcting")
+        # a NEW verified loop supersedes any in-flight GBA/correction
+        # (reference: mnFullBAIdx bump aborts the running thread)
+        self.abort_gba()
+        self.last_loop_kf = kf_count
+        self.n_loops += 1
+        if self.corr_async:
+            # time-sliced correction: snapshot now, essential-graph chunks
+            # at subsequent keyframes, weld + SearchAndFuse + GBA at the end
+            # (the frame loop never waits on the full correction)
+            carry = (st.kf_R, st.kf_t, jnp.ones((st.caps.K,)))
+            self._pgc = {"snap": st, "kf": kf, "cand": cand, "T12": T12c,
+                         "four_dof": four_dof, "carry": carry, "done": 0,
+                         "cur_fid": int(kf_fid), "cand_fid": int(cf)}
+            return st, True
         st = correct_loop(st, self.cam, kf_d, best_d,
                           T12c, fix_scale=self.fix_scale, four_dof=four_dof)
         st = search_and_fuse(st, self.cam, kf_d, best_d)
         if self.run_gba:
             if self.gba_async:
-                # a NEW verified loop supersedes any in-flight GBA
-                # (reference: mnFullBAIdx bump aborts the running thread)
-                self.abort_gba()
                 carry = (st.kf_R, st.kf_t, st.lm_pos, jnp.asarray(1e-4))
                 self._gba = (st, carry, 0)
             else:
                 st = global_bundle_adjustment(st, self.cam)
-        self.last_loop_kf = kf_count
-        self.n_loops += 1
         return st, True

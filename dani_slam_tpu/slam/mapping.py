@@ -372,13 +372,25 @@ def _lba_window_select(st: mstate.MapState, center_kf: jax.Array,
     # how many WINDOW keyframes observe each landmark — when the local map
     # overflows the cap, the multi-view-constrained points carry the solve
     # (picking by slot id skews to the oldest keyframe's points and can
-    # leave the center pose nearly unconstrained)
+    # leave the center pose nearly unconstrained).
+    # Counted from the landmark observer BITMASKS: win_cnt[l] =
+    # popcount(lm_obs_bits[l] & window_bits) — [L, K/32] word ops instead
+    # of the dense [L, P_opt*N] id_count compare (268M lane-ops, ~2 ms of
+    # every keyframe program). The bitmask is a conservative superset of
+    # the obs table (LBA outlier drops don't clear bits), which can only
+    # rank a stale landmark a little high / admit it into unused slots —
+    # its zero live observations contribute nothing to the solve.
     obs_w = st.obs_lm[opt_idx]                                 # [P_opt,N]
     valid_w = ((obs_w >= 0) & st.kf_kp_mask[opt_idx] &
                opt_real[:, None])
     from dani_slam_tpu.core import scatterless as sless
-    win_cnt = sless.id_count(jnp.where(valid_w, obs_w, 0).reshape(-1),
-                             valid_w.reshape(-1), st.caps.L)
+    n_words = st.lm_obs_bits.shape[1]
+    opt_words = jax.vmap(mstate._kf_bit_words,
+                         in_axes=(0, None))(opt_idx, n_words)  # [P_opt,nw]
+    win_bits = jnp.sum(jnp.where(opt_real[:, None], opt_words, 0),
+                       axis=0).astype(st.lm_obs_bits.dtype)    # disjoint
+    win_cnt = jnp.sum(jax.lax.population_count(
+        st.lm_obs_bits & win_bits[None, :]), axis=1).astype(jnp.int32)
     lm_sel = st.lm_mask & (win_cnt > 0)
     # argsort not lax.top_k: TPU top_k is ~100x slower at L=2^15 (see
     # core/state.free_slots)

@@ -378,6 +378,15 @@ class System:
         # catch-up passes; see mapping.keyframe_step do_aux)
         do_aux = (self._kf_count % self.aux_every == 0
                   or self._kf_count <= 2)
+        # the covisible-of-covisible fuse extension runs on every OTHER aux
+        # pass: it is the costliest maintenance slice (measured ~+15 ms per
+        # keyframe program at production caps) and, like the rest of the
+        # aux passes, an idempotent catch-up — the reference likewise skips
+        # SearchInNeighbors entirely when the keyframe queue backs up
+        # (src/LocalMapping.cc:85-107)
+        two_hop = (self.fuse_two_hop
+                   if (self._kf_count % (2 * self.aux_every) == 0
+                       or self._kf_count <= 2) else 0)
         # LBA truncation under keyframe pressure (reference: Tracking calls
         # InterruptBA when it wants a keyframe and LBA aborts mid-iteration,
         # src/Tracking.cc:3265 + mbAbortBA polling in LocalBundleAdjustment;
@@ -402,7 +411,7 @@ class System:
             cull_close_only=self.close_depth is not None,
             cull_close_depth=(self.close_depth
                               if self.close_depth is not None else 3.0),
-            fuse_two_hop=self.fuse_two_hop)
+            fuse_two_hop=two_hop)
         tr.st = st
         tr.ref_kf_dev = k.astype(jnp.int32)   # stays on device for tracking
         # re-anchor the tracker's pose chain onto the BA-refined keyframe
@@ -895,10 +904,12 @@ class System:
         if (self.tracker.pending_kf is not None and self.enable_mapping):
             self._keyframe_step()
         self._resolve_kf_pull()
-        # drain a pending time-sliced GBA so saved maps/trajectories carry
-        # the final correction (the reference joins its GBA thread too)
+        # drain a pending time-sliced correction/GBA so saved maps and
+        # trajectories carry the final correction (the reference joins its
+        # LoopClosing + GBA threads too)
         if (self.loop_closer is not None and
-                self.loop_closer._gba is not None):
+                (self.loop_closer._gba is not None or
+                 self.loop_closer._pgc is not None)):
             tr = self.tracker
             tr.st = self.loop_closer.finish_gba(tr.st, tr.ref_kf_dev)
             if self.loop_closer.chain_corr is not None:

@@ -139,11 +139,12 @@ def build_initial_map_rgbd(st: mstate.MapState, cam, f0: FrameFeatures,
 # Per-frame tracking steps
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("use_depth",))
+@partial(jax.jit, static_argnames=("use_depth", "rounds"))
 def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
                        last_bind: jax.Array, R_pred, t_pred,
                        radius: jax.Array | float = 15.0,
-                       use_depth: bool = False) -> TrackStepOut:
+                       use_depth: bool = False,
+                       rounds: int = 2) -> TrackStepOut:
     """Project last frame's landmarks with the constant-velocity prediction
     and match in a window (reference: TrackWithMotionModel
     src/Tracking.cc:2874 + SearchByProjection LGmatcher.cpp:1627)."""
@@ -165,12 +166,13 @@ def track_motion_model(st: mstate.MapState, cam, feat: FrameFeatures,
     bind = sless.id_max(m.idx, m.ok, lm_ids, feat.xy.shape[0],
                         jnp.asarray(-1, jnp.int32))
 
-    # 2 rounds suffice here: this pose only SEEDS the local-map search;
-    # the final accuracy comes from track_local_map's full 4-round solve
+    # rounds=2 default: this pose only SEEDS the local-map search; the
+    # final accuracy comes from track_local_map's full 4-round solve
     # (the fused frame program runs both — halving the first solve's rounds
-    # trims the latency-bound LM chain)
+    # trims the latency-bound LM chain). rounds=4 restores the
+    # reference-faithful budget (A/B: tools/ab_frame_knobs.py).
     res = _optimize_with_bindings(st, cam, feat, bind, R_pred, t_pred,
-                                  use_depth, rounds=2)
+                                  use_depth, rounds=rounds)
     return res
 
 
@@ -273,13 +275,21 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
     (reference: TrackLocalMap src/Tracking.cc:2969 + SearchLocalPoints:3400;
     UpdateLocalKeyFrames:3514 builds K1 observers + neighbors)."""
     K = st.caps.K
-    # K1: keyframes observing currently-bound landmarks
+    # K1: keyframes observing currently-bound landmarks — answered from the
+    # landmark observer BITMASKS: gather [N, K/32] words for the bound
+    # landmarks and OR-reduce, then unpack to bool [K]. The obs-table
+    # formulation (take(seen, obs_safe) over [K,N] then row-any) is a 262k
+    # random gather from a 32k table — ~3 ms/frame of the fused frame
+    # program at production caps; this is ~8k gathered words.
     has = (bind >= 0) & jnp.take(st.lm_mask, jnp.maximum(bind, 0))
     seen = sless.id_mask(bind, has, st.caps.L)
-    obs_valid = st.obs_lm >= 0
-    obs_safe = jnp.where(obs_valid, st.obs_lm, 0)
-    overlap = jnp.sum(jnp.take(seen, obs_safe) & obs_valid, axis=1)
-    kf_sel = st.kf_mask & (overlap > 0)
+    obits = jnp.where(has[:, None],
+                      st.lm_obs_bits[jnp.maximum(bind, 0)], 0)   # [N,nw]
+    words = jax.lax.reduce(obits, jnp.asarray(0, obits.dtype),
+                           jax.lax.bitwise_or, (0,))             # [nw]
+    arangeK = jnp.arange(K)
+    kf_bit = (words[arangeK // 32] >> (arangeK % 32)) & 1
+    kf_sel = st.kf_mask & (kf_bit > 0)
     # + covisible neighbors of the selected set
     neigh = jnp.any((st.covis > 10) & kf_sel[None, :], axis=1)
     kf_sel = kf_sel | (st.kf_mask & neigh)
@@ -323,23 +333,26 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
 
 @partial(jax.jit,
          static_argnames=("min_inliers", "use_depth", "has_vel",
-                          "matcher_model"))
+                          "matcher_model", "seed_rounds"))
 def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
                      last_bind: jax.Array, R_cur, t_cur, Rv, tv,
                      ref_kf: jax.Array, min_inliers: int = 10,
                      use_depth: bool = False, has_vel: bool = True,
-                     matcher_model=None, matcher_params=None):
+                     matcher_model=None, matcher_params=None,
+                     seed_rounds: int = 2):
     if has_vel:
         R_pred, t_pred = lie.se3_mul(Rv, tv, R_cur, t_cur)
     else:
         R_pred, t_pred = R_cur, t_cur
 
     out = track_motion_model(st, cam, feat, last_bind, R_pred, t_pred,
-                             radius=15.0, use_depth=use_depth)
+                             radius=15.0, use_depth=use_depth,
+                             rounds=seed_rounds)
 
     def widened(_):
         o = track_motion_model(st, cam, feat, last_bind, R_pred, t_pred,
-                               radius=30.0, use_depth=use_depth)
+                               radius=30.0, use_depth=use_depth,
+                               rounds=seed_rounds)
         return o.R, o.t, o.bindings, o.n_inliers
 
     def keep(o):
@@ -377,7 +390,7 @@ def track_frame_step(st: mstate.MapState, cam, feat: FrameFeatures,
 @partial(jax.jit,
          static_argnames=("n_max", "use_boxes", "min_inliers", "has_vel",
                           "matcher_model", "det_model", "det_hw",
-                          "det_score_th", "det_anchors"))
+                          "det_score_th", "det_anchors", "seed_rounds"))
 def rgbd_frame_fused(sp_params, img, depth_img, cam, time, depth_factor,
                      threshold, boxes, box_mask,
                      st: mstate.MapState, last_bind, R_cur, t_cur, Rv, tv,
@@ -386,7 +399,7 @@ def rgbd_frame_fused(sp_params, img, depth_img, cam, time, depth_factor,
                      matcher_model=None, matcher_params=None,
                      det_model=None, det_params=None, dyn_ids=None,
                      det_hw=None, det_score_th: float = 0.4,
-                     det_anchors=None):
+                     det_anchors=None, seed_rounds: int = 2):
     """The ENTIRE per-frame pipeline as ONE XLA program: (YOLO dynamic
     masking ->) SuperPoint frontend -> fused track step -> velocity update
     -> reference-KF pose gather. Under the axon transport each program
@@ -414,7 +427,8 @@ def rgbd_frame_fused(sp_params, img, depth_img, cam, time, depth_factor,
     R3, t3, bind, counts, st2 = track_frame_step(
         st, cam, feat, last_bind, R_cur, t_cur, Rv, tv, ref_kf,
         min_inliers=min_inliers, use_depth=True, has_vel=has_vel,
-        matcher_model=matcher_model, matcher_params=matcher_params)
+        matcher_model=matcher_model, matcher_params=matcher_params,
+        seed_rounds=seed_rounds)
 
     # velocity for the next frame: T_new o T_last^-1 (reference mVelocity,
     # src/Tracking.cc:2227) — previously an eager host-side composition
@@ -513,6 +527,10 @@ class Tracker:
         self.max_frames_between_kf = max_frames_between_kf
         self.min_frames_between_kf = min_frames_between_kf
         self.pipelined = pipelined
+        # LM rounds of the motion-model SEED solve (2 = production shortcut;
+        # 4 = reference-faithful 4x10-iteration budget,
+        # src/Optimizer.cc:814-1110 — A/B: tools/ab_frame_knobs.py)
+        self.seed_rounds = 2
         # optional trained LightGlue (models/lightglue.MatcherState):
         # primary matcher for the reference-KF fallback (reference:
         # TrackReferenceKeyFrame runs LightGlue via SearchByBoW)
@@ -658,7 +676,8 @@ class Tracker:
             self.ref_kf_dev, n_max=n_max,
             min_inliers=self.min_inliers_track, has_vel=has_vel,
             matcher_model=mm.model if mm is not None else None,
-            matcher_params=mm.params if mm is not None else None, **det_kw)
+            matcher_params=mm.params if mm is not None else None,
+            seed_rounds=self.seed_rounds, **det_kw)
         if detector is not None:
             self.dynamic_ratio = dyn_ratio
 
@@ -796,7 +815,8 @@ class Tracker:
             self.ref_kf_dev, min_inliers=self.min_inliers_track,
             use_depth=self.use_depth, has_vel=has_vel,
             matcher_model=mm.model if mm is not None else None,
-            matcher_params=mm.params if mm is not None else None)
+            matcher_params=mm.params if mm is not None else None,
+            seed_rounds=self.seed_rounds)
 
         # VI refinement: preintegration edge to the previous frame refines
         # pose + velocity + biases (reference: tracking switches to

@@ -297,3 +297,110 @@ def make_drifted_loop_state(cam: _cam.Camera, caps, K: int = 12,
         seen_now = set(tid_np[good].tolist())
         world2lm = {w: l for w, l in world2lm.items() if w in seen_now}
     return st, kf_ids, (R_gt, t_gt), world
+
+
+# ---------------------------------------------------------------------------
+# Image-in RGB-D benchmark sequence (the bench's dataset builder, shared so
+# bench.py / tools/ab_frame_knobs.py / the hardened revisit workload render
+# the SAME scene family — reference analogue: TUM fr3_walking_xyz playback,
+# Examples/RGB-D/rgbd_tum.cc, with the walking person as the dynamic object)
+# ---------------------------------------------------------------------------
+
+def stamp_dynamic_object(img, depth, cam_f, uv, z, wh_m, offsets, amps):
+    """Stamp the warm textured movable object (the shipped detector's
+    training appearance, models/yolo_train.py) onto an RGB frame.
+    Blob windows are sliced (|du|,|dv| < 5 confine each blob) — identical
+    values to the full-image formulation."""
+    H, W = img.shape[:2]
+    bw = wh_m[0] * cam_f / z
+    bh = wh_m[1] * cam_f / z
+    x1, y1 = uv[0] - bw / 2, uv[1] - bh / 2
+    x2, y2 = uv[0] + bw / 2, uv[1] + bh / 2
+    xi1, yi1 = max(int(x1), 0), max(int(y1), 0)
+    xi2, yi2 = min(int(x2), W), min(int(y2), H)
+    if xi2 - xi1 < 8 or yi2 - yi1 < 8:
+        return img, depth
+    tint = np.asarray([1.0, 0.55, 0.45]) * 0.55 * 255
+    img[yi1:yi2, xi1:xi2] = tint
+    # coherent blob texture that moves WITH the object — the case that
+    # poisons unmasked tracking (keypoints land on it and out-vote statics
+    # locally); the detector must suppress it inside the timed loop
+    sx = bw / 100.0
+    for (ox, oy), a in zip(offsets, amps):
+        u, v = uv[0] + ox * sx, uv[1] + oy * sx
+        if not (3 < u < W - 4 and 3 < v < H - 4):
+            continue
+        ix1, ix2 = max(int(np.floor(u - 5)), 0), min(int(np.ceil(u + 5)) + 1, W)
+        iy1, iy2 = max(int(np.floor(v - 5)), 0), min(int(np.ceil(v + 5)) + 1, H)
+        yy, xx = np.mgrid[iy1:iy2, ix1:ix2]
+        du, dv = xx - u, yy - v
+        m = (np.abs(du) < 5) & (np.abs(dv) < 5)
+        g = a * np.exp(-(du ** 2 + dv ** 2) / (2 * 1.5 ** 2))
+        sub = img[iy1:iy2, ix1:ix2]
+        sub[m] = np.maximum(sub[m], (40 + g[m])[:, None] * np.ones((1, 3)))
+    depth[yi1:yi2, xi1:xi2] = z * 5000.0
+    return img, depth
+
+
+def make_rgbd_image_sequence(cam: _cam.Camera, R_gt, t_gt, seed: int = 0,
+                             with_object: bool = True, sample_every: int = 6,
+                             per_batch: int = 160,
+                             obj_side_fn=None, fps: float = 30.0):
+    """Render an RGB-D image sequence along ground-truth trajectory
+    (R_gt [F,3,3], t_gt [F,3]) — frustum-sampled textured world points on a
+    jittered grid plus (optionally) a moving warm textured board at ~4 m (the
+    fr3_walking 'person' analogue). Returns (imgs [F] uint8 HxWx3,
+    depths [F] uint16, times [F] float).
+
+    obj_side_fn(i) -> lateral offset (m) of the object at frame i; the
+    default crossing (-1.8 + 0.07*i) matches the original 60-frame bench.
+    """
+    n_frames = len(R_gt)
+    rng = np.random.RandomState(seed)
+    fx, fy, cx, cy = (float(x) for x in np.asarray(cam.params)[:4])
+    # ~25 parents per sampled frame spread over the swept volume on a
+    # jittered grid (>=14 px apart at mid-depth): the detection budget then
+    # returns a STABLE keypoint set frame to frame — with clustered points
+    # the top-K selection churns and map coverage saturates low
+    pts_list = []
+    for j in list(range(0, n_frames, sample_every)) + [n_frames - 1]:
+        gx, gy = np.meshgrid(np.linspace(40, cam.width - 40, 16),
+                             np.linspace(40, cam.height - 40, 10))
+        u = (gx + rng.uniform(-12, 12, gx.shape)).ravel()[:per_batch]
+        v = (gy + rng.uniform(-12, 12, gy.shape)).ravel()[:per_batch]
+        z = rng.uniform(4.0, 11.0, per_batch)
+        rays = np.stack([(u - cx) / fx, (v - cy) / fy,
+                         np.ones(per_batch)], 1)
+        pc = (rays * z[:, None]).astype(np.float32)
+        Rj, tj = np.asarray(R_gt[j]), np.asarray(t_gt[j])
+        pts_list.append((Rj.T @ (pc - tj).T).T.astype(np.float32))
+    pts = np.concatenate(pts_list, 0)
+    bright = rng.uniform(150, 230, len(pts)).astype(np.float32)
+    obj_off = [(rng.uniform(-48, 48), rng.uniform(-33, 33))
+               for _ in range(40)]
+    obj_amp = [rng.uniform(150, 215) for _ in range(40)]
+    C0 = -np.asarray(R_gt[0]).T @ np.asarray(t_gt[0])
+    fwd0 = np.asarray(R_gt[0]).T @ np.asarray([0.0, 0.0, 1.0])
+    side0 = np.asarray(R_gt[0]).T @ np.asarray([1.0, 0.0, 0.0])
+    if obj_side_fn is None:
+        obj_side_fn = lambda i: -1.8 + 0.07 * i     # noqa: E731
+    imgs, deps, times = [], [], []
+    for i in range(n_frames):
+        gray, de = render_image_depth(pts, bright, cam, R_gt[i], t_gt[i],
+                                      seed=i)
+        img = np.repeat(gray[..., None], 3, axis=-1).astype(np.float32)
+        de = de.astype(np.float32)
+        if with_object:
+            obj_w = C0 + fwd0 * 4.0 + side0 * obj_side_fn(i)
+            pc = np.asarray(lie.se3_apply(R_gt[i], t_gt[i],
+                                          jnp.asarray(obj_w[None],
+                                                      jnp.float32)))
+            if pc[0, 2] > 0.5:
+                uv = np.asarray(_cam.project(cam, jnp.asarray(pc)))[0]
+                img, de = stamp_dynamic_object(img, de, fx, uv,
+                                               pc[0, 2], (1.6, 1.2),
+                                               obj_off, obj_amp)
+        imgs.append(np.clip(img, 0, 255).astype(np.uint8))
+        deps.append(de.astype(np.uint16))
+        times.append(i / fps)
+    return imgs, deps, times

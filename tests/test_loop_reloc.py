@@ -474,3 +474,100 @@ class TestEmergentLoopDetection:
             f"loop end not closed: {before[-1]:.3f} -> {after[-1]:.3f}")
         assert after.mean() < before.mean(), (
             f"{before.mean()=:.3f} {after.mean()=:.3f}")
+
+
+class TestSlicedLoopCorrection:
+    """Time-sliced loop correction (loop_pg_chunk + loop_correction_apply +
+    apply_loop_weld) — the single-device analogue of the reference running
+    ALL of CorrectLoop in the LoopClosing thread while Tracking continues
+    (src/LoopClosing.cc:970-1207)."""
+
+    def test_chunked_matches_synchronous(self):
+        """With no keyframes interleaved, the sliced path must reproduce the
+        one-shot correct_loop (same GN iteration count, same measurements)."""
+        from dani_slam_tpu.core import lie
+        from dani_slam_tpu.slam import loopclosing as lc
+        st, kf_ids, (R_gt, t_gt), _ = TestLoopClosing()._drifted_loop_state(
+            K=16)
+        cand = jnp.asarray(kf_ids[0])
+        cur = jnp.asarray(kf_ids[-1])
+        T12, n, ok = lc.verify_loop_candidate(
+            st, CAM, cur, cand, jax.random.PRNGKey(0), fix_scale=True,
+            min_inliers=20)
+        assert bool(ok)
+        st_sync = lc.correct_loop(st, CAM, cur, cand, T12, pg_iters=9,
+                                  fix_scale=True)
+        carry = (st.kf_R, st.kf_t, jnp.ones((CAPS.K,)))
+        for _ in range(3):                      # 3 chunks x 3 iters = 9
+            carry = lc.loop_pg_chunk(st, cur, cand, T12, carry, iters=3,
+                                     fix_scale=True)
+        R_out, t_out, lm_pos, dmin, dmax = lc.loop_correction_apply(st, carry)
+        st_sliced, cR, ct = lc.apply_loop_weld(
+            st, st.kf_mask, st.kf_frame_id, st.lm_mask, st.lm_first_kf,
+            R_out, t_out, lm_pos, dmin, dmax, cur, cand,
+            st.kf_frame_id[cur], st.kf_frame_id[cand], cur)
+        kmask = np.asarray(st.kf_mask)
+        assert np.allclose(np.asarray(st_sync.kf_R)[kmask],
+                           np.asarray(st_sliced.kf_R)[kmask], atol=1e-4)
+        assert np.allclose(np.asarray(st_sync.kf_t)[kmask],
+                           np.asarray(st_sliced.kf_t)[kmask], atol=1e-3)
+        lmask = np.asarray(st.lm_mask)
+        assert np.allclose(np.asarray(st_sync.lm_pos)[lmask],
+                           np.asarray(st_sliced.lm_pos)[lmask], atol=1e-3)
+        assert bool(st_sliced.loop_edges[cur, cand])
+        # chain correction: old cur pose composed with (cR, ct) lands on the
+        # corrected cur pose (what the System applies to the tracker chain)
+        Rc, tc = lie.se3_mul(st.kf_R[cur], st.kf_t[cur], cR, ct)
+        assert np.allclose(np.asarray(Rc), np.asarray(st_sliced.kf_R[cur]),
+                           atol=1e-4)
+        assert np.allclose(np.asarray(tc), np.asarray(st_sliced.kf_t[cur]),
+                           atol=1e-3)
+
+    def test_weld_propagates_to_post_snapshot_keyframe(self):
+        """A keyframe minted DURING the sliced window follows its corrected
+        spanning-tree parent at weld time (T_child_parent preserved) — the
+        reference's during-GBA propagation applied to the correction
+        (src/LoopClosing.cc:1240-1380)."""
+        from dani_slam_tpu.core import lie, state as mstate
+        from dani_slam_tpu.slam import loopclosing as lc
+        st, kf_ids, _, _ = TestLoopClosing()._drifted_loop_state(K=16)
+        snap = st
+        cand = jnp.asarray(kf_ids[0])
+        cur = jnp.asarray(kf_ids[-1])
+        T12, n, ok = lc.verify_loop_candidate(
+            st, CAM, cur, cand, jax.random.PRNGKey(0), fix_scale=True,
+            min_inliers=20)
+        assert bool(ok)
+        carry = (snap.kf_R, snap.kf_t, jnp.ones((CAPS.K,)))
+        carry = lc.loop_pg_chunk(snap, cur, cand, T12, carry, iters=9,
+                                 fix_scale=True)
+        # meanwhile a new keyframe lands on the LIVE map, observing the last
+        # keyframe's landmarks (covis -> spanning parent = kf_ids[-1])
+        last = kf_ids[-1]
+        dR, dt = lie.se3_exp(jnp.asarray([0.0, 0.0, 0.0, 0.05, 0.0, 0.02]))
+        R_new = dR @ st.kf_R[last]
+        t_new = dR @ st.kf_t[last] + dt
+        st_live, k_new = mstate.insert_keyframe(
+            st, R_new, t_new, jnp.asarray(99.0), jnp.asarray(999),
+            st.kf_kp[last], st.kf_kp_mask[last], st.kf_desc[last],
+            st.kf_depth[last], jnp.zeros((CAPS.N,), jnp.int8),
+            st.obs_lm[last])
+        assert int(st_live.spanning_parent[k_new]) == last
+        Rrel0, trel0 = lie.se3_mul(R_new, t_new,
+                                   *lie.se3_inv(st.kf_R[last],
+                                                st.kf_t[last]))
+        R_out, t_out, lm_pos, dmin, dmax = lc.loop_correction_apply(snap,
+                                                                    carry)
+        st_w, cR, ct = lc.apply_loop_weld(
+            st_live, snap.kf_mask, snap.kf_frame_id, snap.lm_mask,
+            snap.lm_first_kf, R_out, t_out, lm_pos, dmin, dmax, cur, cand,
+            snap.kf_frame_id[cur], snap.kf_frame_id[cand], cur)
+        # participant keyframes took the corrected poses
+        assert np.allclose(np.asarray(st_w.kf_R[last]),
+                           np.asarray(R_out[last]), atol=1e-5)
+        # the post-snapshot keyframe kept its relative pose to the parent
+        Rrel1, trel1 = lie.se3_mul(st_w.kf_R[k_new], st_w.kf_t[k_new],
+                                   *lie.se3_inv(st_w.kf_R[last],
+                                                st_w.kf_t[last]))
+        assert np.allclose(np.asarray(Rrel0), np.asarray(Rrel1), atol=1e-4)
+        assert np.allclose(np.asarray(trel0), np.asarray(trel1), atol=1e-3)
