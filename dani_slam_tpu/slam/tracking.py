@@ -298,21 +298,34 @@ def track_local_map(st: mstate.MapState, cam, feat: FrameFeatures,
     # exclude already-bound landmarks
     lm_sel &= ~seen
 
+    # Compact the query set before the window search: the local map is a
+    # few thousand live landmarks, but querying the full [L]=32k slot table
+    # pays ~1.5 ms of per-grid-step latency in the match kernel even with
+    # its dead-tile skip. nonzero-with-static-size compaction is ~free
+    # (cumsum-based); LQ=4096 holds the live local map with headroom (cap
+    # overflow drops only this frame's least-slot candidates — the next
+    # frame re-selects).
+    LQ = 4096
+    loc_ids = jnp.nonzero(lm_sel, size=LQ, fill_value=0)[0]
+    loc_ok = jnp.arange(LQ) < jnp.sum(lm_sel.astype(jnp.int32))
+
     xy, vis, _, dist = matching.project_landmarks(
-        R0, t0, cam, st.lm_pos, lm_sel, st.lm_normal, st.lm_dist_min,
-        st.lm_dist_max)
-    octv = matching.predict_scale_level(dist, st.lm_dist_max)
+        R0, t0, cam, st.lm_pos[loc_ids], loc_ok, st.lm_normal[loc_ids],
+        st.lm_dist_min[loc_ids], st.lm_dist_max[loc_ids])
+    octv = matching.predict_scale_level(dist, st.lm_dist_max[loc_ids])
     # target-side search: bindings form directly per keypoint, no scatter
     ci, _, cok = matching.search_by_projection_bind(
-        xy, vis, st.lm_desc, feat.xy, feat.valid & (bind < 0), feat.desc,
-        radius=radius * SCALE_FACTOR ** octv)
-    bind2 = jnp.where(bind >= 0, bind, jnp.where(cok, ci, -1))
+        xy, vis, st.lm_desc[loc_ids], feat.xy, feat.valid & (bind < 0),
+        feat.desc, radius=radius * SCALE_FACTOR ** octv)
+    bind2 = jnp.where(bind >= 0, bind, jnp.where(cok, loc_ids[ci], -1))
 
     out = _optimize_with_bindings(st, cam, feat, bind2, R0, t0, use_depth)
 
     # visibility bookkeeping (reference: IncreaseVisible/IncreaseFound,
     # used by MapPointCulling's found-ratio)
-    dvis = (vis | seen).astype(jnp.int32)
+    vis_full = jnp.zeros((st.caps.L,), bool).at[
+        jnp.where(vis, loc_ids, st.caps.L - 1)].max(vis)
+    dvis = (vis_full | seen).astype(jnp.int32)
     fin = (out.bindings >= 0)
     dfound = sless.id_count(out.bindings, fin, st.caps.L)
     st2 = dataclasses.replace(st, lm_visible=st.lm_visible + dvis,
